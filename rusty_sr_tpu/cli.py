@@ -1,0 +1,161 @@
+"""Command-line interface — full flag parity with the reference CLI.
+
+Reference surface (src/main.rs:33-127): positional INPUT_FILE OUTPUT_FILE,
+`-p/--parameters {imagenet,imagenetlinear,anime,bilinear}`, `-c/--custom
+FILE`, `-d/--downsample`, plus a `train` subcommand with PARAMETER_FILE,
+TRAINING_FOLDER, `-l/--linearLoss`, `-r/--recurse`, `-s/--start FILE`,
+`-v/--val_folder DIR`, `-m/--val_max N`.  We additionally expose
+`-f/--factor` (the reference's TODO at src/main.rs:30,161) and perf knobs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rusty_sr_tpu",
+        description="A convolutional neural network trained to upscale images (TPU-native)",
+    )
+    sub = p.add_subparsers(dest="command")
+
+    p.add_argument("INPUT_FILE", nargs="?", help="input image to upscale")
+    p.add_argument("OUTPUT_FILE", nargs="?", help="output file to write/overwrite (.png recommended)")
+    p.add_argument("-p", "--parameters",
+                   choices=["imagenet", "imagenetlinear", "anime", "bilinear"],
+                   help="which built-in parameters to use with the neural net")
+    p.add_argument("-c", "--custom", metavar="PARAMETER_FILE",
+                   help="custom parameter file (.rsr) to use with the neural net")
+    p.add_argument("-d", "--downsample", action="store_true",
+                   help="perform downscaling rather than upscaling")
+    p.add_argument("-f", "--factor", type=int, default=3,
+                   help="upscale factor (reference hardcodes 3; custom weights must match)")
+    p.add_argument("--tile", type=int, default=114,
+                   help="LR tile size for overlap-tile inference")
+    p.add_argument("--chunk", type=int, default=8,
+                   help="tiles per device dispatch")
+    p.add_argument("--fast", action="store_true",
+                   help="bf16 conv trunk (higher throughput, ~1 code max deviation)")
+
+    t = sub.add_parser("train", help="Train a new set of neural parameters on your own dataset")
+    t.add_argument("PARAMETER_FILE", help="learned parameters are (over)written to this .rsr file")
+    t.add_argument("TRAINING_FOLDER", help="images from this folder are used for training")
+    t.add_argument("-l", "--linearLoss", action="store_true", dest="linear_loss",
+                   help="apply MSE loss to linearised RGB output rather than sRGB values")
+    t.add_argument("-r", "--recurse", action="store_true",
+                   help="recurse into subfolders looking for files")
+    t.add_argument("-s", "--start", metavar="FILE",
+                   help="start training from parameters in this .rsr file")
+    t.add_argument("-v", "--val_folder", metavar="DIR",
+                   help="images from this folder are used to evaluate training progress")
+    t.add_argument("-m", "--val_max", type=int, metavar="N",
+                   help="upper limit on number of images per validation pass")
+    t.add_argument("-f", "--factor", type=int, default=3)
+    t.add_argument("--loss", choices=["mse", "l1"], default="mse",
+                   help="data loss (reference uses MSE; L1 is the BASELINE.json extra)")
+    t.add_argument("--max_steps", type=int, default=None,
+                   help="optional hard step cap (for smoke runs)")
+    return p
+
+
+def run_upscale(args) -> int:
+    import jax.numpy as jnp
+    from rusty_sr_tpu import params as params_lib
+    from rusty_sr_tpu.models.sr_net import bilinear_apply, downsample_apply
+    from rusty_sr_tpu.parallel.tiling import tiled_sr
+    from rusty_sr_tpu.utils.imageio import load_image, save_image
+
+    if not args.INPUT_FILE or not args.OUTPUT_FILE:
+        print("error: INPUT_FILE and OUTPUT_FILE are required", file=sys.stderr)
+        return 2
+
+    img = load_image(args.INPUT_FILE)
+    compute_dtype = jnp.bfloat16 if args.fast else None
+
+    if args.downsample:
+        print("Downsampling using average pooling of linear RGB values...",
+              end="", flush=True)
+        f = args.factor
+        h, w, _ = img.shape
+        img = img[: h - h % f, : w - w % f]
+        out = np.asarray(downsample_apply(jnp.asarray(img)[None], f)[0])
+    elif args.parameters == "bilinear":
+        print("Upscaling using bilinear interpolation...", end="", flush=True)
+        out = np.asarray(bilinear_apply(jnp.asarray(img)[None], args.factor)[0])
+    else:
+        if args.custom:
+            print("Upscaling using custom neural net parameters...", end="", flush=True)
+            tree = params_lib.load_rsr_file(args.custom, args.factor)
+        else:
+            name = args.parameters or "imagenet"
+            label = {"imagenet": "imagenet", "imagenetlinear": "linear loss imagenet",
+                     "anime": "anime"}[name]
+            print(f"Upscaling using {label} neural net parameters...", end="", flush=True)
+            tree = params_lib.load_builtin(name, args.factor)
+        tree = {k: jnp.asarray(v) for k, v in tree.items()}
+        out = tiled_sr(tree, img, args.factor, tile=args.tile, chunk=args.chunk,
+                       compute_dtype=compute_dtype)
+
+    print(" Writing file...", end="", flush=True)
+    save_image(args.OUTPUT_FILE, out)
+    print(" Done")
+    return 0
+
+
+def run_train(args) -> int:
+    from rusty_sr_tpu import params as params_lib
+    from rusty_sr_tpu.train.data import ImageFolderSupplier, PrefetchBuffer
+    from rusty_sr_tpu.train.loop import TrainConfig, train_loop
+    from rusty_sr_tpu.utils.imageio import load_image
+    from rusty_sr_tpu.train.data import list_images
+
+    cfg = TrainConfig(factor=args.factor, linear_loss=args.linear_loss,
+                      loss_kind=args.loss)
+
+    supplier = ImageFolderSupplier(args.TRAINING_FOLDER, recurse=args.recurse,
+                                   crop=(cfg.crop, cfg.crop), shuffle=True)
+    buf = PrefetchBuffer(supplier, depth=128, batch_size=cfg.batch_size)
+
+    start = None
+    if args.start:
+        start = params_lib.load_rsr_file(args.start, cfg.factor)
+
+    val_images = None
+    if args.val_folder:
+        files = list_images(args.val_folder, args.recurse)
+        if args.val_max is not None:
+            files = files[: args.val_max]
+        val_images = [load_image(f) for f in files]
+
+    print("Beginning Training")
+
+    def batches():
+        while True:
+            b = buf.next_batch()
+            if b is None:
+                return
+            yield b
+
+    try:
+        train_loop(cfg, batches(), start_params=start,
+                   param_file=args.PARAMETER_FILE, val_images=val_images,
+                   max_steps=args.max_steps)
+    finally:
+        buf.close()
+    print("Done")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "train":
+        return run_train(args)
+    return run_upscale(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,79 @@
+"""The SR network, bilinear baseline, and downsample paths.
+
+The reference builds a mutable alumina `Graph` in `sr_net` (reference
+src/network.rs:16-109) where multiple operations writing one node accumulate
+additively (SURVEY.md §8.4).  TPU-native there is no graph object at all:
+the network is a pure function over a param pytree, accumulation is `+`,
+and XLA traces/fuses the whole thing into a handful of MXU conv kernels
+with fused epilogues.
+
+Topology (inference; reference src/network.rs:27-72, SURVEY.md §2.3):
+
+    base   = LinearInterp_f(input)                      # sRGB-domain bilinear
+    f      = BeLU(conv0_5x5(input) + f_bias)
+    l1     = BeLU(conv1_5x5(f) + l1_bias)
+    l2     = BeLU(conv2_5x5(f) + conv5_3x3(l1) + l2_bias)
+    l3     = BeLU(conv3_5x5(f) + conv6_3x3(l1) + conv8_3x3(l2) + l3_bias)
+    expand = conv7_3x3(l1) + conv9_3x3(l2) + conv10_3x3(l3) + expand_bias
+    output = base + depth_to_space_f(expand)
+
+i.e. bilinear-upsampled base plus an ESPCN-style learned sub-pixel residual
+over a DenseNet-ish low-res trunk.  130,459 params at factor 3.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rusty_sr_tpu.ops.activations import belu
+from rusty_sr_tpu.ops.color import srgb_to_linear, linear_to_srgb
+from rusty_sr_tpu.ops.conv import conv2d_same
+from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
+from rusty_sr_tpu.ops.resize import upsample_bilinear, avg_pool
+
+
+def sr_apply(params, x: jnp.ndarray, factor: int = 3, *, compute_dtype=None) -> jnp.ndarray:
+    """SR forward pass. x: (N,H,W,3) sRGB f32 in [0,1] -> (N,fH,fW,3).
+
+    ``compute_dtype`` optionally runs the conv trunk in bf16 for MXU
+    throughput (params and the residual sum stay f32 for parity headroom).
+    """
+    base = upsample_bilinear(x, factor)  # src/network.rs:27
+
+    xc = x if compute_dtype is None else x.astype(compute_dtype)
+
+    def cv(h, name):
+        w = params[name]
+        if compute_dtype is not None:
+            w = w.astype(compute_dtype)
+            h = h.astype(compute_dtype)
+        return conv2d_same(h, w)
+
+    f = belu(cv(xc, "conv0") + params["f_bias"], params["f_belu"])       # :33-35
+    l1 = belu(cv(f, "conv1") + params["l1_bias"], params["l1_belu"])     # :60
+    l2 = belu(cv(f, "conv2") + cv(l1, "conv5") + params["l2_bias"],
+              params["l2_belu"])                                          # :61,65
+    l3 = belu(cv(f, "conv3") + cv(l1, "conv6") + cv(l2, "conv8")
+              + params["l3_bias"], params["l3_belu"])                     # :62,66,69
+    expand = (cv(l1, "conv7") + cv(l2, "conv9") + cv(l3, "conv10")
+              + params["expand_bias"])                                    # :67,70,72,38
+    residual = depth_to_space(expand, factor)                             # :39
+    return base + residual.astype(base.dtype)                             # §8.4 accumulation
+
+
+def bilinear_apply(x: jnp.ndarray, factor: int = 3) -> jnp.ndarray:
+    """`-p bilinear` path: sRGB→linear → bilinear ×f → linear→sRGB
+    (reference src/network.rs:111-123)."""
+    return linear_to_srgb(upsample_bilinear(srgb_to_linear(x), factor))
+
+
+def downsample_apply(x: jnp.ndarray, factor: int = 3) -> jnp.ndarray:
+    """`--downsample` path: sRGB→linear → f×f mean pool → linear→sRGB
+    (reference src/network.rs:125-138)."""
+    return linear_to_srgb(avg_pool(srgb_to_linear(x), factor))
+
+
+def make_lr_from_hr(hr: jnp.ndarray, factor: int = 3) -> jnp.ndarray:
+    """In-graph self-supervised pair synthesis used by training
+    (reference src/network.rs:87-92): identical math to `downsample_apply`."""
+    return downsample_apply(hr, factor)

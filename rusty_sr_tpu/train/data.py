@@ -1,0 +1,120 @@
+"""Host input pipeline: image-folder streaming with random crops + prefetch.
+
+TPU-native counterpart of alumina's `ImageFolderSupplier` + `Buffer`
+(reference src/main.rs:187-188,222-229): a background-thread pipeline that
+decodes PNG/JPEG on host, crops, and stages fixed-shape f32 batches so the
+device never waits on image decode.  `ShuffleRandom` ⇒ shuffle=True with
+random crops; `Sequential` ⇒ shuffle=False, whole images (validation).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from rusty_sr_tpu.utils.imageio import load_image
+
+_IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".gif", ".tif", ".tiff", ".webp"}
+
+
+def list_images(folder: str, recurse: bool = False) -> List[str]:
+    """Image files in `folder` (optionally recursive), sorted for determinism."""
+    out: List[str] = []
+    if recurse:
+        for root, _dirs, files in os.walk(folder):
+            out += [os.path.join(root, f) for f in files
+                    if os.path.splitext(f)[1].lower() in _IMG_EXTS]
+    else:
+        out = [os.path.join(folder, f) for f in os.listdir(folder)
+               if os.path.splitext(f)[1].lower() in _IMG_EXTS]
+    return sorted(out)
+
+
+class ImageFolderSupplier:
+    """Streams (H,W,3) f32 images, optionally random-cropped.
+
+    crop=None mirrors `Cropping::None` (whole image); crop=(h,w) mirrors
+    `Cropping::Random{width,height}` (reference src/main.rs:187,222).
+    Images smaller than the crop are edge-padded up to the crop size.
+    """
+
+    def __init__(self, folder: str, recurse: bool = False,
+                 crop: Optional[tuple] = None, shuffle: bool = True,
+                 seed: int = 0):
+        self.files = list_images(folder, recurse)
+        if not self.files:
+            raise ValueError(f"no images found in {folder!r}")
+        self.crop = crop
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+
+    def epoch_size(self) -> int:
+        return len(self.files)
+
+    def _crop(self, img: np.ndarray) -> np.ndarray:
+        ch, cw = self.crop
+        h, w, _ = img.shape
+        if h < ch or w < cw:
+            img = np.pad(img, ((0, max(0, ch - h)), (0, max(0, cw - w)), (0, 0)),
+                         mode="edge")
+            h, w, _ = img.shape
+        y = int(self.rng.integers(0, h - ch + 1))
+        x = int(self.rng.integers(0, w - cw + 1))
+        return img[y:y + ch, x:x + cw]
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            order = np.arange(len(self.files))
+            if self.shuffle:
+                self.rng.shuffle(order)
+            for i in order:
+                try:
+                    img = load_image(self.files[i])
+                except OSError:
+                    continue  # unreadable file: skip, like a decode error
+                yield self._crop(img) if self.crop is not None else img
+            if not self.shuffle:
+                return  # sequential supplier is single-epoch (validation)
+
+
+class PrefetchBuffer:
+    """Background-thread prefetch of batched crops (alumina `Buffer`,
+    reference src/main.rs:188: depth 128 for training)."""
+
+    def __init__(self, supplier: ImageFolderSupplier, depth: int = 128,
+                 batch_size: int = 1):
+        self.supplier = supplier
+        self.batch_size = batch_size
+        self.q: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=max(1, depth // max(1, batch_size)))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        it = iter(self.supplier)
+        batch = []
+        for img in it:
+            if self._stop.is_set():
+                return
+            batch.append(img)
+            if len(batch) == self.batch_size:
+                arr = np.stack(batch)
+                batch = []
+                while not self._stop.is_set():
+                    try:
+                        self.q.put(arr, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        self.q.put(None)  # end-of-stream (sequential suppliers only)
+
+    def next_batch(self) -> Optional[np.ndarray]:
+        item = self.q.get()
+        return item
+
+    def close(self):
+        self._stop.set()

@@ -1,0 +1,168 @@
+"""Training: optax Adam, self-supervised pair synthesis, DP over a mesh.
+
+Mirrors the reference's `train` driver (src/main.rs:181-257) TPU-natively:
+
+- The HR crop is the *only* input; the LR input is derived inside the
+  jitted step (sRGB→linear → f×f mean-pool → linear→sRGB, reference
+  src/network.rs:87-92) so pair synthesis runs fused on device.
+- Loss: MSE on sRGB output, or on linearised output with linear_loss
+  (src/network.rs:94-100), plus L2 regularisation (coef 1e-6) on every
+  parameter (src/main.rs:185, src/network.rs:79-84).
+- Adam with the reference hyperparameters: lr 2e-3, β1 0.95, β2 0.995,
+  ε 1e-7, batch 4 (src/main.rs:199-205).
+- Checkpoint every 100 steps and at step 1 to byte-compatible `.rsr`
+  (src/main.rs:210-217); validation PSNR every 100 steps
+  (src/main.rs:231-250); `max_evals` sample budget (src/main.rs:253).
+- Data parallelism: the step is jitted with the batch sharded over the
+  'data' axis of a `jax.sharding.Mesh` and params replicated; XLA inserts
+  the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rusty_sr_tpu import params as params_lib
+from rusty_sr_tpu.models.sr_net import sr_apply, make_lr_from_hr
+from rusty_sr_tpu.ops.color import srgb_to_linear
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    factor: int = 3
+    batch_size: int = 4            # src/main.rs:200
+    crop: int = 192                # src/main.rs:187
+    learning_rate: float = 2e-3    # src/main.rs:204
+    beta1: float = 0.95            # src/main.rs:201
+    beta2: float = 0.995           # src/main.rs:202
+    epsilon: float = 1e-7          # src/main.rs:203
+    l2_reg: float = 1e-6           # src/main.rs:185
+    linear_loss: bool = False      # --linearLoss
+    loss_kind: str = "mse"         # "mse" (reference) or "l1" (BASELINE.json configs)
+    max_evals: int = 10_000_000    # sample budget, src/main.rs:253
+    checkpoint_every: int = 100    # src/main.rs:211
+    val_every: int = 100           # src/main.rs:233
+
+
+def loss_fn(params, hr, cfg: TrainConfig):
+    """Scalar loss + aux (mse) for a batch of HR crops (N,H,W,3)."""
+    lr = make_lr_from_hr(hr, cfg.factor)
+    out = sr_apply(params, lr, cfg.factor)
+    if cfg.linear_loss:
+        a, b = srgb_to_linear(out), srgb_to_linear(hr)
+    else:
+        a, b = out, hr
+    if cfg.loss_kind == "l1":
+        data_loss = jnp.mean(jnp.abs(a - b))
+    else:
+        data_loss = jnp.mean((a - b) ** 2)
+    reg = 0.0
+    if cfg.l2_reg:
+        reg = cfg.l2_reg * 0.5 * sum(jnp.sum(w * w)
+                                     for w in jax.tree.leaves(params))
+    mse = jnp.mean((a - b) ** 2)
+    return data_loss + reg, mse
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2,
+                      eps=cfg.epsilon)
+
+
+def make_train_step(cfg: TrainConfig, mesh: Optional[Mesh] = None) -> Callable:
+    """Jitted (params, opt_state, hr_batch) -> (params, opt_state, loss, mse).
+
+    With a mesh, the batch is sharded over the 'data' axis and params/opt
+    state are replicated; gradients all-reduce over ICI automatically.
+    """
+    opt = make_optimizer(cfg)
+
+    def step(params, opt_state, hr):
+        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, hr, cfg)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, mse
+
+    if mesh is None:
+        return jax.jit(step), opt
+
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data", None, None, None))
+    jitted = jax.jit(
+        step,
+        in_shardings=(repl, repl, batch_sh),
+        out_shardings=(repl, repl, repl, repl),
+    )
+    return jitted, opt
+
+
+def validation_psnr(params, val_images, cfg: TrainConfig,
+                    apply_fn: Optional[Callable] = None) -> float:
+    """Pixel-weighted validation PSNR over whole images
+    (reference src/main.rs:231-250): -10*log10(sum(err*px)/sum(px))."""
+    err_sum, pix_sum = 0.0, 0.0
+    for hr in val_images:
+        hr = np.asarray(hr, np.float32)
+        f = cfg.factor
+        # Crop HR so it pools evenly, as the in-graph pipeline requires.
+        h, w, _ = hr.shape
+        hr = hr[: h - h % f, : w - w % f]
+        hrj = jnp.asarray(hr)[None]
+        lr = make_lr_from_hr(hrj, f)
+        out = (apply_fn or (lambda p, x: sr_apply(p, x, f)))(params, lr)
+        if cfg.linear_loss:
+            a, b = srgb_to_linear(out), srgb_to_linear(hrj)
+        else:
+            a, b = out, hrj
+        mse = float(jnp.mean((a - b) ** 2))
+        px = hr.shape[0] * hr.shape[1]
+        err_sum += mse * px
+        pix_sum += px
+    return -10.0 * math.log10(max(err_sum / pix_sum, 1e-300))
+
+
+def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
+               param_file: Optional[str] = None,
+               val_images: Optional[list] = None,
+               log: Callable[[str], None] = print,
+               mesh: Optional[Mesh] = None,
+               max_steps: Optional[int] = None,
+               seed: int = 0):
+    """Run the reference's training protocol; returns final params.
+
+    ``train_batches`` yields (N,crop,crop,3) f32 HR batches (host numpy).
+    """
+    params = start_params if start_params is not None else \
+        params_lib.init_params(seed, cfg.factor)
+    params = jax.tree.map(jnp.asarray, params)
+    step_fn, opt = make_train_step(cfg, mesh)
+    opt_state = opt.init(params)
+
+    budget_steps = cfg.max_evals // cfg.batch_size
+    if max_steps is not None:
+        budget_steps = min(budget_steps, max_steps)
+
+    step = 0
+    for hr in train_batches:
+        if hr is None or step >= budget_steps:
+            break
+        step += 1
+        params, opt_state, loss, mse = step_fn(params, opt_state, jnp.asarray(hr))
+        if step % cfg.checkpoint_every == 0 or step == 1:
+            if param_file is not None:
+                host = jax.tree.map(np.asarray, params)
+                params_lib.save_rsr_file(param_file, host, cfg.factor)
+            if val_images:
+                psnr = validation_psnr(params, val_images, cfg)
+                log(f"Validation PSNR:\t{psnr}")
+            else:
+                log(f"step {step}\tloss {float(loss):.6g}\tmse {float(mse):.6g}")
+    return jax.tree.map(np.asarray, params)
