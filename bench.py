@@ -1,0 +1,72 @@
+"""Headline benchmark: sustained SR throughput (HR megapixels/sec/chip).
+
+Runs the flagship 3x SR network (the reference's only model,
+src/network.rs:16-109) on device-resident NHWC tile batches and measures
+steady-state throughput of the jitted forward path, the same path
+`tiled_sr` dispatches for large-image inference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the fraction of the 1 GPix/s-per-chip north-star target
+(BASELINE.md; the reference itself publishes no numbers — SURVEY.md §6).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from rusty_sr_tpu import load_builtin
+    from rusty_sr_tpu.models.sr_net import sr_apply
+
+    factor = 3
+    batch, side = 8, 256  # 8 x 256^2 LR -> 4.7 HR MPix per dispatch
+    params = {k: jnp.asarray(v) for k, v in load_builtin("imagenet").items()}
+    x = jnp.asarray(np.random.default_rng(0).random(
+        (batch, side, side, 3), dtype=np.float32))
+
+    # Throughput mode: bf16 trunk (explicit opt-in; parity mode is f32 and
+    # is what the golden tests gate on).
+    #
+    # The timed loop is a lax.fori_loop *inside* jit with a data dependency
+    # between iterations (each iteration consumes the previous output), so
+    # the device must execute every pass sequentially — host-side dispatch
+    # loops measure only tunnel/dispatch latency on this backend.
+    iters = 20
+
+    def one_pass(b):
+        out = sr_apply(params, b, factor, compute_dtype=jnp.bfloat16)
+        # fold the HR output back to LR size to carry the dependency
+        return out[:, :side, :side, :] * 1e-6 + x
+
+    @jax.jit
+    def chained(b):
+        return jax.lax.fori_loop(0, iters, lambda i, c: one_pass(c), b)
+
+    jax.block_until_ready(chained(x))  # compile + warm-up
+
+    hr_mpix = batch * side * side * factor * factor / 1e6
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chained(x))
+        dt = time.perf_counter() - t0
+        best = max(best, iters * hr_mpix / dt)
+
+    print(json.dumps({
+        "metric": "sr3x_throughput",
+        "value": round(best, 2),
+        "unit": "HR megapixels/sec/chip",
+        "vs_baseline": round(best / 1000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,14 +17,14 @@ import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:
+    """Upscale-mode parser (the default command)."""
     p = argparse.ArgumentParser(
         prog="rusty_sr_tpu",
-        description="A convolutional neural network trained to upscale images (TPU-native)",
+        description="A convolutional neural network trained to upscale images "
+                    "(TPU-native). Run the `train` subcommand to learn new weights.",
     )
-    sub = p.add_subparsers(dest="command")
-
-    p.add_argument("INPUT_FILE", nargs="?", help="input image to upscale")
-    p.add_argument("OUTPUT_FILE", nargs="?", help="output file to write/overwrite (.png recommended)")
+    p.add_argument("INPUT_FILE", help="input image to upscale")
+    p.add_argument("OUTPUT_FILE", help="output file to write/overwrite (.png recommended)")
     p.add_argument("-p", "--parameters",
                    choices=["imagenet", "imagenetlinear", "anime", "bilinear"],
                    help="which built-in parameters to use with the neural net")
@@ -40,8 +40,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tiles per device dispatch")
     p.add_argument("--fast", action="store_true",
                    help="bf16 conv trunk (higher throughput, ~1 code max deviation)")
+    p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+                   help="force a JAX platform (default: environment's)")
+    return p
 
-    t = sub.add_parser("train", help="Train a new set of neural parameters on your own dataset")
+
+def build_train_parser() -> argparse.ArgumentParser:
+    t = argparse.ArgumentParser(
+        prog="rusty_sr_tpu train",
+        description="Train a new set of neural parameters on your own dataset")
     t.add_argument("PARAMETER_FILE", help="learned parameters are (over)written to this .rsr file")
     t.add_argument("TRAINING_FOLDER", help="images from this folder are used for training")
     t.add_argument("-l", "--linearLoss", action="store_true", dest="linear_loss",
@@ -59,7 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data loss (reference uses MSE; L1 is the BASELINE.json extra)")
     t.add_argument("--max_steps", type=int, default=None,
                    help="optional hard step cap (for smoke runs)")
-    return p
+    t.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+                   help="force a JAX platform (default: environment's)")
+    return t
 
 
 def run_upscale(args) -> int:
@@ -69,11 +78,19 @@ def run_upscale(args) -> int:
     from rusty_sr_tpu.parallel.tiling import tiled_sr
     from rusty_sr_tpu.utils.imageio import load_image, save_image
 
-    if not args.INPUT_FILE or not args.OUTPUT_FILE:
-        print("error: INPUT_FILE and OUTPUT_FILE are required", file=sys.stderr)
+    if args.custom and args.parameters:
+        print("error: --custom conflicts with --parameters", file=sys.stderr)
+        return 2
+    if args.downsample and (args.custom or args.parameters):
+        print("error: --downsample conflicts with --parameters/--custom",
+              file=sys.stderr)
         return 2
 
-    img = load_image(args.INPUT_FILE)
+    try:
+        img = load_image(args.INPUT_FILE)
+    except (OSError, FileNotFoundError) as e:
+        print(f"Error opening input image file: {e}", file=sys.stderr)
+        return 1
     compute_dtype = jnp.bfloat16 if args.fast else None
 
     if args.downsample:
@@ -89,7 +106,14 @@ def run_upscale(args) -> int:
     else:
         if args.custom:
             print("Upscaling using custom neural net parameters...", end="", flush=True)
-            tree = params_lib.load_rsr_file(args.custom, args.factor)
+            try:
+                tree = params_lib.load_rsr_file(args.custom, args.factor)
+            except ValueError as e:
+                # reference: assert at src/main.rs:162
+                print(f"\nerror: {e}. Parameters selected do not have the size "
+                      "required by the neural net. Ensure that the same factor "
+                      "is used for upscaling and training.", file=sys.stderr)
+                return 1
         else:
             name = args.parameters or "imagenet"
             label = {"imagenet": "imagenet", "imagenetlinear": "linear loss imagenet",
@@ -151,10 +175,19 @@ def run_train(args) -> int:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-    if args.command == "train":
-        return run_train(args)
-    return run_upscale(args)
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # Subcommand negates the positional requirements (the reference's clap
+    # uses SubcommandsNegateReqs, src/main.rs:38); argparse can't mix an
+    # optional subcommand with required positionals, so dispatch manually.
+    is_train = bool(argv) and argv[0] == "train"
+    args = (build_train_parser().parse_args(argv[1:]) if is_train
+            else build_parser().parse_args(argv))
+    if args.platform:
+        # Must precede any jax usage; JAX_PLATFORMS from the environment
+        # (e.g. the axon plugin) would otherwise win.
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    return run_train(args) if is_train else run_upscale(args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,57 @@
+"""Device-mesh parallelism: DP training + sharded batch/tile inference.
+
+The reference is strictly single-process/single-device (SURVEY.md §2.4);
+the parallelism here is the TPU-native replacement set that this workload
+motivates, built on `jax.sharding.Mesh` + jit shardings so XLA inserts the
+collectives (gradient all-reduce, halo exchange for spatially-sharded
+convs) over ICI:
+
+- ``data`` axis: batch data-parallelism (tiles at inference, crops at
+  training; gradient psum at training).
+- ``spatial`` axis: splits the image H dimension inside a batch element;
+  GSPMD spatially partitions the convs and exchanges halos over ICI.
+  This is the reference workload's analogue of sequence parallelism
+  (SURVEY.md §5 "long-context" row).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rusty_sr_tpu.models.sr_net import sr_apply
+
+
+def make_mesh(n_data: Optional[int] = None, n_spatial: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """A (data, spatial) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_spatial
+    assert n_data * n_spatial <= len(devices), \
+        f"need {n_data}x{n_spatial} devices, have {len(devices)}"
+    arr = np.asarray(devices[: n_data * n_spatial]).reshape(n_data, n_spatial)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def make_sharded_apply(mesh: Mesh, factor: int = 3, compute_dtype=None):
+    """Jitted (params, batch) -> SR batch with batch sharded over 'data'
+    and H over 'spatial'; params replicated.  XLA partitions the convs
+    spatially and inserts halo exchanges over ICI automatically."""
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data", "spatial", None, None))
+
+    def apply(params, x):
+        return sr_apply(params, x, factor, compute_dtype=compute_dtype)
+
+    return jax.jit(apply, in_shardings=(repl, batch_sh),
+                   out_shardings=batch_sh)
+
+
+def shard_batch(mesh: Mesh, batch: np.ndarray) -> jax.Array:
+    """Host batch -> device array laid out over the (data, spatial) mesh."""
+    return jax.device_put(batch, NamedSharding(mesh, P("data", "spatial", None, None)))

@@ -77,11 +77,14 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
                       eps=cfg.epsilon)
 
 
-def make_train_step(cfg: TrainConfig, mesh: Optional[Mesh] = None) -> Callable:
+def make_train_step(cfg: TrainConfig, mesh: Optional[Mesh] = None,
+                    *, spatial: bool = False) -> Callable:
     """Jitted (params, opt_state, hr_batch) -> (params, opt_state, loss, mse).
 
-    With a mesh, the batch is sharded over the 'data' axis and params/opt
-    state are replicated; gradients all-reduce over ICI automatically.
+    With a mesh, the batch is sharded over the 'data' axis (and the image H
+    dimension over 'spatial' when requested — GSPMD partitions the convs
+    with halo exchange over ICI) while params/opt state are replicated;
+    the gradient all-reduce is inserted by XLA.
     """
     opt = make_optimizer(cfg)
 
@@ -95,7 +98,8 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[Mesh] = None) -> Callable:
         return jax.jit(step), opt
 
     repl = NamedSharding(mesh, P())
-    batch_sh = NamedSharding(mesh, P("data", None, None, None))
+    batch_sh = NamedSharding(
+        mesh, P("data", "spatial" if spatial else None, None, None))
     jitted = jax.jit(
         step,
         in_shardings=(repl, repl, batch_sh),

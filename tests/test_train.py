@@ -1,0 +1,142 @@
+"""Training subsystem tests: loss semantics, step, checkpointing, resume."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rusty_sr_tpu import params as P
+from rusty_sr_tpu.models.sr_net import make_lr_from_hr, downsample_apply
+from rusty_sr_tpu.train.loop import (
+    TrainConfig, loss_fn, make_train_step, train_loop, validation_psnr,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def _hr_batch(n=2, crop=24):
+    return RNG.random((n, crop, crop, 3), dtype=np.float32)
+
+
+@pytest.fixture(scope="module")
+def small_params():
+    return jax.tree.map(jnp.asarray, P.init_params(0, 3))
+
+
+class TestLoss:
+    def test_pair_synthesis_matches_downsample_net(self):
+        """Training derives LR in-graph exactly like the --downsample path
+        (reference src/network.rs:87-92 vs :125-138)."""
+        hr = jnp.asarray(_hr_batch())
+        np.testing.assert_allclose(make_lr_from_hr(hr, 3),
+                                   downsample_apply(hr, 3), atol=1e-6)
+
+    def test_l2_reg_term(self, small_params):
+        cfg0 = TrainConfig(l2_reg=0.0, crop=24)
+        cfg1 = TrainConfig(l2_reg=1e-6, crop=24)
+        hr = jnp.asarray(_hr_batch())
+        l0, _ = loss_fn(small_params, hr, cfg0)
+        l1, _ = loss_fn(small_params, hr, cfg1)
+        w2 = sum(float(jnp.sum(w * w)) for w in jax.tree.leaves(small_params))
+        assert float(l1 - l0) == pytest.approx(1e-6 * 0.5 * w2, rel=1e-3)
+
+    def test_linear_loss_differs(self, small_params):
+        hr = jnp.asarray(_hr_batch())
+        a, _ = loss_fn(small_params, hr, TrainConfig(linear_loss=False))
+        b, _ = loss_fn(small_params, hr, TrainConfig(linear_loss=True))
+        assert abs(float(a) - float(b)) > 1e-9
+
+    def test_l1_option(self, small_params):
+        hr = jnp.asarray(_hr_batch())
+        a, _ = loss_fn(small_params, hr, TrainConfig(loss_kind="l1", l2_reg=0.0))
+        # L1 of residuals in [0,1] must exceed MSE of the same residuals
+        b, _ = loss_fn(small_params, hr, TrainConfig(loss_kind="mse", l2_reg=0.0))
+        assert float(a) > float(b)
+
+
+class TestStep:
+    def test_loss_decreases_overfit_single_batch(self, small_params):
+        cfg = TrainConfig(crop=24, l2_reg=0.0)
+        step_fn, opt = make_train_step(cfg)
+        params = small_params
+        opt_state = opt.init(params)
+        hr = jnp.asarray(_hr_batch(4, 24))
+        first = None
+        for i in range(30):
+            params, opt_state, loss, mse = step_fn(params, opt_state, hr)
+            if first is None:
+                first = float(loss)
+        assert float(loss) < first * 0.9
+
+    def test_gradients_cover_all_params(self, small_params):
+        cfg = TrainConfig(crop=24, l2_reg=0.0)
+        hr = jnp.asarray(_hr_batch())
+        grads = jax.grad(lambda p: loss_fn(p, hr, cfg)[0])(small_params)
+        for name, g in grads.items():
+            assert float(jnp.abs(g).max()) > 0.0, f"zero grad for {name}"
+
+
+class TestLoopAndCheckpoint:
+    def test_checkpoint_rsr_roundtrip_and_resume(self, tmp_path):
+        cfg = TrainConfig(crop=24, checkpoint_every=2)
+        ckpt = str(tmp_path / "ck.rsr")
+
+        def batches(n):
+            for _ in range(n):
+                yield _hr_batch(cfg.batch_size, cfg.crop)
+
+        final = train_loop(cfg, batches(3), param_file=ckpt, max_steps=3,
+                           log=lambda s: None)
+        assert os.path.exists(ckpt)
+        tree = P.load_rsr_file(ckpt, 3)
+        assert P.pytree_to_flat(tree, 3).size == 130_459
+        # resume from checkpoint: must accept the loaded tree
+        final2 = train_loop(cfg, batches(1), start_params=tree, max_steps=1,
+                            log=lambda s: None)
+        assert P.pytree_to_flat(final2, 3).shape == (130_459,)
+
+    def test_validation_psnr_reasonable(self):
+        """Pretrained weights must beat 20 dB self-supervised PSNR on a
+        natural image; random init must be worse."""
+        from rusty_sr_tpu.utils.imageio import load_image
+        img = load_image("/root/reference/docs/butterfly_lr.png")
+        cfg = TrainConfig()
+        good = jax.tree.map(jnp.asarray, P.load_builtin("imagenet"))
+        psnr_good = validation_psnr(good, [img], cfg)
+        assert psnr_good > 20.0
+        rand = jax.tree.map(jnp.asarray, P.init_params(1, 3))
+        assert validation_psnr(rand, [img], cfg) < psnr_good
+
+
+class TestData:
+    def test_supplier_and_buffer(self, tmp_path):
+        from rusty_sr_tpu.train.data import ImageFolderSupplier, PrefetchBuffer
+        from rusty_sr_tpu.utils.imageio import save_image
+        for i in range(3):
+            save_image(str(tmp_path / f"img{i}.png"),
+                       RNG.random((40, 50, 3)).astype(np.float32))
+        sup = ImageFolderSupplier(str(tmp_path), crop=(24, 24), shuffle=True)
+        assert sup.epoch_size() == 3
+        buf = PrefetchBuffer(sup, depth=8, batch_size=2)
+        b = buf.next_batch()
+        assert b.shape == (2, 24, 24, 3)
+        assert b.dtype == np.float32
+        buf.close()
+
+    def test_sequential_supplier_terminates(self, tmp_path):
+        from rusty_sr_tpu.train.data import ImageFolderSupplier
+        from rusty_sr_tpu.utils.imageio import save_image
+        save_image(str(tmp_path / "a.png"), RNG.random((8, 8, 3)).astype(np.float32))
+        sup = ImageFolderSupplier(str(tmp_path), crop=None, shuffle=False)
+        imgs = list(sup)
+        assert len(imgs) == 1 and imgs[0].shape == (8, 8, 3)
+
+    def test_small_image_padded_crop(self, tmp_path):
+        from rusty_sr_tpu.train.data import ImageFolderSupplier
+        from rusty_sr_tpu.utils.imageio import save_image
+        save_image(str(tmp_path / "small.png"), RNG.random((10, 10, 3)).astype(np.float32))
+        sup = ImageFolderSupplier(str(tmp_path), crop=(24, 24))
+        img = next(iter(sup))
+        assert img.shape == (24, 24, 3)
