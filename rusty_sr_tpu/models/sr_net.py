@@ -23,6 +23,7 @@ over a DenseNet-ish low-res trunk.  130,459 params at factor 3.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from rusty_sr_tpu.ops.activations import belu
@@ -32,7 +33,8 @@ from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
 from rusty_sr_tpu.ops.resize import upsample_bilinear, avg_pool
 
 
-def sr_apply(params, x: jnp.ndarray, factor: int = 3, *, compute_dtype=None) -> jnp.ndarray:
+def sr_apply(params, x: jnp.ndarray, factor: int = 3, *, compute_dtype=None,
+             conv_fn=None) -> jnp.ndarray:
     """SR forward pass. x: (N,H,W,3) sRGB f32 in [0,1] -> (N,fH,fW,3).
 
     ``compute_dtype`` optionally runs the conv trunk in bf16 for MXU
@@ -41,13 +43,14 @@ def sr_apply(params, x: jnp.ndarray, factor: int = 3, *, compute_dtype=None) -> 
     base = upsample_bilinear(x, factor)  # src/network.rs:27
 
     xc = x if compute_dtype is None else x.astype(compute_dtype)
+    _conv = conv_fn or conv2d_same
 
     def cv(h, name):
         w = params[name]
         if compute_dtype is not None:
             w = w.astype(compute_dtype)
             h = h.astype(compute_dtype)
-        return conv2d_same(h, w)
+        return _conv(h, w)
 
     f = belu(cv(xc, "conv0") + params["f_bias"], params["f_belu"])       # :33-35
     l1 = belu(cv(f, "conv1") + params["l1_bias"], params["l1_belu"])     # :60
@@ -59,6 +62,61 @@ def sr_apply(params, x: jnp.ndarray, factor: int = 3, *, compute_dtype=None) -> 
               + params["expand_bias"])                                    # :67,70,72,38
     residual = depth_to_space(expand, factor)                             # :39
     return base + residual.astype(base.dtype)                             # §8.4 accumulation
+
+
+def merge_params(params, as_jax: bool = True):
+    """Concatenate same-source conv weights for the fused apply path.
+
+    The DenseNet trunk issues three 5x5 convs from f_activ (conv1/2/3),
+    three 3x3 from l1 (conv5/6/7), two from l2 (conv8/9) and one from l3
+    (conv10) — each only 27-32 output channels, which strands 3/4 of the
+    MXU's 128 lanes.  Concatenating along O is mathematically identical
+    (conv is linear in the kernel) and turns the dominant stage into one
+    96-wide matmul.  Done once at load time.
+    """
+    xp = jnp if as_jax else np
+    m = dict(params)
+    m["convA"] = xp.concatenate([xp.asarray(params[k]) for k in
+                                 ("conv1", "conv2", "conv3")], axis=3)
+    m["convB"] = xp.concatenate([xp.asarray(params[k]) for k in
+                                 ("conv5", "conv6", "conv7")], axis=3)
+    m["convC"] = xp.concatenate([xp.asarray(params[k]) for k in
+                                 ("conv8", "conv9")], axis=3)
+    for k in ("conv1", "conv2", "conv3", "conv5", "conv6", "conv7",
+              "conv8", "conv9"):
+        del m[k]
+    return m
+
+
+def sr_apply_fused(mparams, x: jnp.ndarray, factor: int = 3, *,
+                   compute_dtype=None, conv_fn=None) -> jnp.ndarray:
+    """sr_apply over `merge_params` output — identical math, wide convs."""
+    p = mparams
+    base = upsample_bilinear(x, factor)
+    e = x.shape[-1] * factor * factor
+
+    xc = x if compute_dtype is None else x.astype(compute_dtype)
+    _conv = conv_fn or conv2d_same
+
+    def cv(h, name):
+        w = p[name]
+        if compute_dtype is not None:
+            w = w.astype(compute_dtype)
+            h = h.astype(compute_dtype)
+        return _conv(h, w)
+
+    f = belu(cv(xc, "conv0") + p["f_bias"], p["f_belu"])
+    a = cv(f, "convA")                                   # (…, 96)
+    l1 = belu(a[..., :32] + p["l1_bias"], p["l1_belu"])
+    b = cv(l1, "convB")                                  # (…, 64+e)
+    l2 = belu(a[..., 32:64] + b[..., :32] + p["l2_bias"], p["l2_belu"])
+    c = cv(l2, "convC")                                  # (…, 32+e)
+    l3 = belu(a[..., 64:96] + b[..., 32:64] + c[..., :32] + p["l3_bias"],
+              p["l3_belu"])
+    expand = (b[..., 64:64 + e] + c[..., 32:32 + e] + cv(l3, "conv10")
+              + p["expand_bias"])
+    residual = depth_to_space(expand, factor)
+    return base + residual.astype(base.dtype)
 
 
 def bilinear_apply(x: jnp.ndarray, factor: int = 3) -> jnp.ndarray:

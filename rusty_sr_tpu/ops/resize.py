@@ -14,31 +14,49 @@ weighted gathers that XLA fuses — no dynamic work, no recompiles.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 
-def _axis_taps(n: int, f: int):
-    """Constant (i0, i1, w) tap tables for 1-D half-pixel clamped bilinear."""
-    out = np.arange(n * f, dtype=np.float64)
-    src = (out + 0.5) / f - 0.5
-    fl = np.floor(src)
-    i0 = np.clip(fl, 0, n - 1).astype(np.int32)
-    i1 = np.clip(fl + 1, 0, n - 1).astype(np.int32)
-    w = (src - fl).astype(np.float32)
-    return i0, i1, w
+def _upsample_axis(x: jnp.ndarray, f: int, axis: int) -> jnp.ndarray:
+    """1-D half-pixel clamped bilinear x f along `axis`, gather-free.
+
+    Output index f*y+fy samples y + alpha, alpha = (fy+0.5)/f - 0.5 in
+    (-0.5, 0.5], i.e. a 2-tap filter over rows {y+d, y+d+1}, d in {-1,0} —
+    static shifts per phase.  Edge-padding by one row reproduces the clamp
+    (out-of-range taps take the edge sample, SURVEY.md §8.5).  Phases are
+    stacked and reshape-interleaved; everything is slices/FMAs that XLA
+    fuses — no gathers (TPU gathers serialise on the VPU).
+    """
+    n = x.shape[axis]
+
+    def slc(start):  # static length-n slice of the edge-padded axis
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(start, start + n)
+        return xe[tuple(idx)]
+
+    xe = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 0, 1, axis=axis), x,
+         jax.lax.slice_in_dim(x, n - 1, n, axis=axis)], axis=axis)
+
+    phases = []
+    for fy in range(f):
+        alpha = (fy + 0.5) / f - 0.5
+        d = int(np.floor(alpha))
+        w = np.float32(alpha - d)
+        lo, hi = slc(1 + d), slc(2 + d)
+        phases.append(lo * (1.0 - w) + hi * w if w != 0.0 else lo)
+
+    y = jnp.stack(phases, axis=axis + 1)      # (..., n, f, ...)
+    new_shape = list(x.shape)
+    new_shape[axis] = n * f
+    return y.reshape(new_shape)
 
 
 def upsample_bilinear(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """x: (N,H,W,C) -> (N,f*H,f*W,C), half-pixel phase, edge-clamped."""
-    n, h, w, c = x.shape
-    i0r, i1r, wr = _axis_taps(h, factor)
-    i0c, i1c, wc = _axis_taps(w, factor)
-    wr = wr[None, :, None, None]
-    wc = wc[None, None, :, None]
-    x = jnp.take(x, i0r, axis=1) * (1.0 - wr) + jnp.take(x, i1r, axis=1) * wr
-    x = jnp.take(x, i0c, axis=2) * (1.0 - wc) + jnp.take(x, i1c, axis=2) * wc
-    return x
+    return _upsample_axis(_upsample_axis(x, factor, 1), factor, 2)
 
 
 def avg_pool(x: jnp.ndarray, factor: int) -> jnp.ndarray:
