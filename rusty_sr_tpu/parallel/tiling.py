@@ -10,7 +10,7 @@ pipeline stays at full MXU utilisation.
 Exactness argument (SURVEY.md §7 "edge semantics"):
 
 - The residual trunk (conv0..conv10) has receptive-field radius
-  2+2+1+1+1 = 7 LR px (5×5,5×5,3×3,3×3,3×3 chain).  In the full image,
+  2+2+1+1+1 = 7 LR px (5x5,5x5,3x3,3x3,3x3 chain).  In the full image,
   *every* conv zero-pads at the true image border (`Padding::Same`), so a
   tile must reproduce zeros beyond the true border at every layer, not
   just at the input.  Each tile therefore carries a border mask (1 inside
@@ -26,19 +26,22 @@ Exactness argument (SURVEY.md §7 "edge semantics"):
   translation-equivariant under integer tile offsets, so per-tile
   computation with the halo cropped off matches full-image bit-for-bit.
 
-Both padded copies are built once on the host per image (cheap,
-memory-bound); tiles are gathered into (num_tiles, T+2h, T+2h, 3) batches
-and the jitted tile kernel processes them in fixed-size chunks.
+The host-side tile gather/scatter hot path runs in native C++
+(native/tileio.cc via utils.native, numpy fallback included); the device
+side offers two engines: "xla" (merged-conv jit graph) and "fused" (the
+single Pallas trunk kernel from ops.pallas.trunk, ~4x faster on v5e).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Callable
+from typing import Callable, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from rusty_sr_tpu.utils import native
 
 # Receptive-field radius of the trunk in LR pixels (confirmed by impulse
 # test; SURVEY.md §7 item 5 and tests/test_tiling.py).
@@ -85,43 +88,60 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
     return base + residual
 
 
+@functools.partial(jax.jit, static_argnames=("factor", "tile", "rh",
+                                             "compute_dtype"))
+def _tile_kernel_fused(packed, zero_tiles, edge_tiles, mask_tiles,
+                       factor: int, tile: int, rh: int, compute_dtype):
+    """Fused-Pallas engine: trunk in one kernel, base+shuffle in XLA."""
+    from rusty_sr_tpu.ops.pallas.trunk import fused_trunk
+    from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
+    from rusty_sr_tpu.ops.resize import upsample_bilinear
+
+    h = HALO
+    expand = fused_trunk(packed, zero_tiles, mask_tiles, factor, rh=rh,
+                         compute_dtype=compute_dtype)
+    residual = depth_to_space(expand, factor)
+    base = upsample_bilinear(edge_tiles, factor)
+    base = base[:, factor * h:factor * (h + tile), factor * h:factor * (h + tile), :]
+    return base + residual
+
+
 def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 114,
-             chunk: int = 8, compute_dtype=None,
+             chunk: int = 8, compute_dtype=None, engine: str = "xla",
+             rh: int = 16, packed=None,
              device_put: Callable = jax.device_put) -> np.ndarray:
     """Upscale (H,W,3) f32 by ``factor`` exactly, any size, one executable.
 
     ``tile`` is the LR tile side (tile+2*HALO is the padded compute side;
     default 114 ⇒ 128-wide padded tiles, lane-aligned).  ``chunk`` bounds
-    how many tiles run per device dispatch.
+    how many tiles run per device dispatch.  ``engine``: "xla" or "fused"
+    (Pallas trunk; pass ``packed`` from pack_trunk_weights to avoid
+    repacking, and ``rh`` as the kernel row-block).
     """
     img = np.asarray(image, dtype=np.float32)
     hgt, wid, _ = img.shape
     h = HALO
     ny = max(1, -(-hgt // tile))
     nx = max(1, -(-wid // tile))
-    pad_y = ny * tile - hgt
-    pad_x = nx * tile - wid
 
-    zero_img = np.pad(img, ((h, h + pad_y), (h, h + pad_x), (0, 0)))
-    edge_img = np.pad(img, ((h, h + pad_y), (h, h + pad_x), (0, 0)), mode="edge")
-    mask_img = np.pad(np.ones((hgt, wid, 1), np.float32),
-                      ((h, h + pad_y), (h, h + pad_x), (0, 0)))
+    zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
+
+    if engine == "fused":
+        if packed is None:
+            from rusty_sr_tpu.ops.pallas.trunk import pack_trunk_weights
+            dt = compute_dtype or jnp.bfloat16
+            packed = pack_trunk_weights(
+                params, factor,
+                dtype=jnp.float32 if dt == jnp.float32 else jnp.bfloat16)
+        run = lambda z, e, m: _tile_kernel_fused(  # noqa: E731
+            packed, z, e, m, factor, tile, rh, compute_dtype or jnp.bfloat16)
+    else:
+        run = lambda z, e, m: _tile_kernel(  # noqa: E731
+            params, z, e, m, factor, tile, compute_dtype)
 
     side = tile + 2 * h
     n_tiles = ny * nx
-    zt = np.empty((n_tiles, side, side, 3), np.float32)
-    et = np.empty((n_tiles, side, side, 3), np.float32)
-    mt = np.empty((n_tiles, side, side, 1), np.float32)
-    k = 0
-    for iy in range(ny):
-        for ix in range(nx):
-            y0, x0 = iy * tile, ix * tile
-            zt[k] = zero_img[y0:y0 + side, x0:x0 + side]
-            et[k] = edge_img[y0:y0 + side, x0:x0 + side]
-            mt[k] = mask_img[y0:y0 + side, x0:x0 + side]
-            k += 1
-
-    out = np.empty((ny * tile * factor, nx * tile * factor, 3), np.float32)
+    out = np.zeros((hgt * factor, wid * factor, 3), np.float32)
     for start in range(0, n_tiles, chunk):
         stop = min(start + chunk, n_tiles)
         cnt = stop - start
@@ -131,11 +151,6 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 114,
             zb = np.concatenate([zb, np.zeros((fill, side, side, 3), np.float32)])
             eb = np.concatenate([eb, np.zeros((fill, side, side, 3), np.float32)])
             mb = np.concatenate([mb, np.zeros((fill, side, side, 1), np.float32)])
-        res = _tile_kernel(params, device_put(zb), device_put(eb), device_put(mb),
-                           factor, tile, compute_dtype)
-        res = np.asarray(res[:cnt])
-        for j in range(cnt):
-            iy, ix = divmod(start + j, nx)
-            out[iy * tile * factor:(iy + 1) * tile * factor,
-                ix * tile * factor:(ix + 1) * tile * factor] = res[j]
-    return out[:hgt * factor, :wid * factor]
+        res = run(device_put(zb), device_put(eb), device_put(mb))
+        native.scatter_tiles(np.asarray(res[:cnt]), start, nx, out)
+    return out

@@ -1,0 +1,137 @@
+"""ctypes bindings for the native host-runtime library (native/tileio.cc).
+
+The reference's host data path (alumina suppliers, bytevec codec) is native
+Rust; ours is native C++: tile gather/scatter for overlap-tile inference
+and the `.rsr` codec.  Builds on demand with `make` (g++ is baked into the
+image; pybind11 is not, hence plain C ABI + ctypes).  Every entry point has
+a pure-numpy fallback so the framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libsrtileio.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_i64 = ctypes.c_int64
+
+
+def _build_and_load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_LIB_PATH):
+                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                               capture_output=True)
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.sr_gather_tiles.argtypes = [
+                _f32p, _i64, _i64, _i64, _i64, _i64, _i64, _f32p, _f32p, _f32p]
+            lib.sr_gather_tiles.restype = None
+            lib.sr_scatter_tiles.argtypes = [
+                _f32p, _i64, _i64, _i64, _i64, _f32p, _i64, _i64]
+            lib.sr_scatter_tiles.restype = None
+            lib.rsr_decode.argtypes = [_u8p, _i64, _f32p, _i64]
+            lib.rsr_decode.restype = _i64
+            lib.rsr_encode.argtypes = [_f32p, _i64, _u8p]
+            lib.rsr_encode.restype = None
+            _lib = lib
+        except (OSError, subprocess.CalledProcessError):
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _build_and_load() is not None
+
+
+def gather_tiles(img: np.ndarray, tile: int, halo: int, ny: int, nx: int):
+    """(H,W,3) f32 -> (zero_tiles, edge_tiles, mask_tiles) as in tiling.py."""
+    img = np.ascontiguousarray(img, dtype=np.float32)
+    h, w, _ = img.shape
+    side = tile + 2 * halo
+    n = ny * nx
+    zt = np.empty((n, side, side, 3), np.float32)
+    et = np.empty((n, side, side, 3), np.float32)
+    mt = np.empty((n, side, side, 1), np.float32)
+    lib = _build_and_load()
+    if lib is not None:
+        lib.sr_gather_tiles(img, h, w, tile, halo, ny, nx, zt, et,
+                            mt.reshape(n, side, side))
+        return zt, et, mt
+    # numpy fallback (same layout contracts)
+    zero_img = np.pad(img, ((halo, halo + ny * tile - h),
+                            (halo, halo + nx * tile - w), (0, 0)))
+    edge_img = np.pad(img, ((halo, halo + ny * tile - h),
+                            (halo, halo + nx * tile - w), (0, 0)), mode="edge")
+    mask_img = np.pad(np.ones((h, w, 1), np.float32),
+                      ((halo, halo + ny * tile - h),
+                       (halo, halo + nx * tile - w), (0, 0)))
+    k = 0
+    for iy in range(ny):
+        for ix in range(nx):
+            y0, x0 = iy * tile, ix * tile
+            zt[k] = zero_img[y0:y0 + side, x0:x0 + side]
+            et[k] = edge_img[y0:y0 + side, x0:x0 + side]
+            mt[k] = mask_img[y0:y0 + side, x0:x0 + side]
+            k += 1
+    return zt, et, mt
+
+
+def scatter_tiles(results: np.ndarray, start: int, nx: int, canvas: np.ndarray):
+    """Write (count, tf, tf, 3) HR tiles into the (crop_h, crop_w, 3) canvas."""
+    results = np.ascontiguousarray(results, dtype=np.float32)
+    count, tf = results.shape[0], results.shape[1]
+    crop_h, crop_w, _ = canvas.shape
+    lib = _build_and_load()
+    if lib is not None:
+        lib.sr_scatter_tiles(results, count, start, nx, tf, canvas,
+                             crop_h, crop_w)
+        return
+    for j in range(count):
+        k = start + j
+        iy, ix = divmod(k, nx)
+        y0, x0 = iy * tf, ix * tf
+        rows = max(0, min(crop_h - y0, tf))
+        cols = max(0, min(crop_w - x0, tf))
+        if rows and cols:
+            canvas[y0:y0 + rows, x0:x0 + cols] = results[j, :rows, :cols]
+
+
+def rsr_decode(data: bytes) -> np.ndarray | None:
+    """Native .rsr decode; None if the native lib is unavailable."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    cap = max(0, (len(data) - 4) // 8)
+    out = np.empty(cap, np.float32)
+    n = lib.rsr_decode(np.ascontiguousarray(buf), len(data), out, cap)
+    if n < 0:
+        raise ValueError("malformed .rsr blob")
+    return out[:n].copy()
+
+
+def rsr_encode(flat: np.ndarray) -> bytes | None:
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(flat, dtype=np.float32)
+    out = np.empty(4 + 8 * flat.size, np.uint8)
+    lib.rsr_encode(flat, flat.size, out)
+    return out.tobytes()

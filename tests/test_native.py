@@ -1,0 +1,85 @@
+"""Native C++ host-runtime lib vs numpy fallback parity."""
+
+import numpy as np
+import pytest
+
+from rusty_sr_tpu.utils import native
+from rusty_sr_tpu import params as P
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.fixture(scope="module")
+def lib_ok():
+    if not native.available():
+        pytest.skip("native lib unavailable (no toolchain)")
+    return True
+
+
+def test_gather_matches_numpy(lib_ok):
+    img = RNG.random((37, 61, 3), dtype=np.float32)
+    tile, halo = 16, 7
+    ny, nx = -(-37 // tile), -(-61 // tile)
+    zt, et, mt = native.gather_tiles(img, tile, halo, ny, nx)
+
+    # independent numpy construction (tiling.py's original formulation)
+    zero_img = np.pad(img, ((halo, halo + ny * tile - 37),
+                            (halo, halo + nx * tile - 61), (0, 0)))
+    edge_img = np.pad(img, ((halo, halo + ny * tile - 37),
+                            (halo, halo + nx * tile - 61), (0, 0)), mode="edge")
+    mask_img = np.pad(np.ones((37, 61, 1), np.float32),
+                      ((halo, halo + ny * tile - 37),
+                       (halo, halo + nx * tile - 61), (0, 0)))
+    side = tile + 2 * halo
+    k = 0
+    for iy in range(ny):
+        for ix in range(nx):
+            y0, x0 = iy * tile, ix * tile
+            assert np.array_equal(zt[k], zero_img[y0:y0+side, x0:x0+side])
+            assert np.array_equal(et[k], edge_img[y0:y0+side, x0:x0+side])
+            assert np.array_equal(mt[k], mask_img[y0:y0+side, x0:x0+side])
+            k += 1
+
+
+def test_gather_edge_semantics_differ_from_zero(lib_ok):
+    """Edge tiles must replicate borders where zero tiles have zeros."""
+    img = np.full((10, 10, 3), 0.7, np.float32)
+    zt, et, mt = native.gather_tiles(img, 10, 3, 1, 1)
+    assert zt[0, 0, 0, 0] == 0.0
+    assert et[0, 0, 0, 0] == pytest.approx(0.7)
+    assert mt[0, 0, 0, 0] == 0.0
+    assert mt[0, 3, 3, 0] == 1.0
+
+
+def test_scatter_ragged(lib_ok):
+    tf, nx = 9, 3
+    canvas = np.zeros((20, 25, 3), np.float32)  # ragged vs 2x3 tiles of 9
+    res = RNG.random((6, tf, tf, 3), dtype=np.float32)
+    native.scatter_tiles(res[:4], 0, nx, canvas)
+    native.scatter_tiles(res[4:], 4, nx, canvas)
+    for k in range(6):
+        iy, ix = divmod(k, nx)
+        rows = min(20 - iy * tf, tf)
+        cols = min(25 - ix * tf, tf)
+        assert np.array_equal(canvas[iy*tf:iy*tf+rows, ix*tf:ix*tf+cols],
+                              res[k, :rows, :cols])
+
+
+def test_native_rsr_roundtrip_matches_python(lib_ok):
+    flat = RNG.standard_normal(999).astype(np.float32)
+    blob = native.rsr_encode(flat)
+    assert blob == P.encode_rsr(flat)
+    back = native.rsr_decode(blob)
+    assert np.array_equal(back, flat)
+    # python decoder accepts native blob and vice versa
+    assert np.array_equal(P.decode_rsr(blob), flat)
+    with pytest.raises(ValueError):
+        native.rsr_decode(b"\x05\x00\x00\x00junk")
+
+
+def test_native_decodes_reference_blob(lib_ok):
+    with open("/root/reference/src/res/anime.rsr", "rb") as f:
+        data = f.read()
+    flat = native.rsr_decode(data)
+    assert flat.shape == (130_459,)
+    assert np.array_equal(flat, P.decode_rsr(data))
