@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tiles per device dispatch")
     p.add_argument("--fast", action="store_true",
                    help="bf16 conv trunk (higher throughput, ~1 code max deviation)")
+    p.add_argument("--engine", choices=["xla", "fused"], default="xla",
+                   help="device engine: 'fused' uses the Pallas trunk kernel")
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                    help="force a JAX platform (default: environment's)")
     return p
@@ -66,6 +68,8 @@ def build_train_parser() -> argparse.ArgumentParser:
                    help="data loss (reference uses MSE; L1 is the BASELINE.json extra)")
     t.add_argument("--max_steps", type=int, default=None,
                    help="optional hard step cap (for smoke runs)")
+    t.add_argument("--metrics", metavar="FILE", default=None,
+                   help="append JSONL training metrics to FILE")
     t.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                    help="force a JAX platform (default: environment's)")
     return t
@@ -122,7 +126,7 @@ def run_upscale(args) -> int:
             tree = params_lib.load_builtin(name, args.factor)
         tree = {k: jnp.asarray(v) for k, v in tree.items()}
         out = tiled_sr(tree, img, args.factor, tile=args.tile, chunk=args.chunk,
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype, engine=args.engine)
 
     print(" Writing file...", end="", flush=True)
     save_image(args.OUTPUT_FILE, out)
@@ -167,7 +171,7 @@ def run_train(args) -> int:
     try:
         train_loop(cfg, batches(), start_params=start,
                    param_file=args.PARAMETER_FILE, val_images=val_images,
-                   max_steps=args.max_steps)
+                   max_steps=args.max_steps, metrics_file=args.metrics)
     finally:
         buf.close()
     print("Done")

@@ -80,16 +80,26 @@ def pack_trunk_weights(params, factor: int = 3, dtype=jnp.bfloat16):
     }
 
 
-def _conv_stage(src, rows_out, width, kh, w_flat, precision):
-    """im2col patches + one matmul.  src: (rows_out+kh-1, width, Cin) with
-    vertical halo included; columns Same-zero-padded here."""
+def _conv_stage(src, rows_out, width, kh, w_flat, precision, pat_ref):
+    """im2col patch build into VMEM scratch + one MXU matmul.
+
+    src: (rows_out+kh-1, width, Cin) with vertical halo included; columns
+    are Same-zero-padded here.  The shifted slices are *stored* into
+    ``pat_ref`` (stores relayout arbitrary vector offsets; Mosaic's concat
+    cannot — 'offset mismatch on non-concat dimension'), then read back
+    offset-0 for a single (M, K) x (K, N) dot.
+    """
     r = kh // 2
     cin = src.shape[-1]
     srcp = jnp.pad(src, ((0, 0), (r, r), (0, 0)))
-    cols = [srcp[dy:dy + rows_out, dx:dx + width, :]
-            for dy in range(kh) for dx in range(kh)]
-    pat = jnp.concatenate(cols, axis=-1).reshape(rows_out * width,
-                                                 kh * kh * cin)
+    k_tot = kh * kh * cin
+    for dy in range(kh):
+        for dx in range(kh):
+            k = dy * kh + dx
+            pat_ref[0:rows_out, 0:width, k * cin:(k + 1) * cin] = \
+                srcp[dy:dy + rows_out, dx:dx + width, :]
+    pat = pat_ref[0:rows_out, 0:width, 0:k_tot]
+    pat = pat.reshape(rows_out * width, k_tot)
     out = jnp.dot(pat, w_flat, preferred_element_type=jnp.float32,
                   precision=precision)
     return out.reshape(rows_out, width, w_flat.shape[-1])
@@ -103,7 +113,7 @@ def _trunk_kernel(x_ref, m_ref,
                   w0_ref, wA_ref, wB_ref, wC_ref, wD_ref,
                   fb_ref, fp_ref, b1_ref, p1_ref, b2_ref, p2_ref,
                   b3_ref, p3_ref, eb_ref,
-                  out_ref, *, rh: int, width: int, e: int,
+                  out_ref, pat_ref, *, rh: int, width: int, e: int,
                   compute_dtype, use_mask: bool):
     cd = compute_dtype
     precision = (lax.Precision.HIGHEST if cd == jnp.float32 else None)
@@ -119,24 +129,29 @@ def _trunk_kernel(x_ref, m_ref,
     x = x_ref[...].astype(cd)                             # (rh+14, W, 3)
 
     f_rows = rh + 10
-    f = _conv_stage(x, f_rows, width, 5, w0_ref[...].astype(cd), precision)
+    f = _conv_stage(x, f_rows, width, 5, w0_ref[...].astype(cd), precision,
+                    pat_ref)
     f = masked(_belu(f + fb_ref[0], fp_ref[0]), 2, f_rows)
 
     a_rows = rh + 6
-    a = _conv_stage(f, a_rows, width, 5, wA_ref[...].astype(cd), precision)
+    a = _conv_stage(f, a_rows, width, 5, wA_ref[...].astype(cd), precision,
+                    pat_ref)
     l1 = masked(_belu(a[..., :32] + b1_ref[0], p1_ref[0]), 4, a_rows)
 
     b_rows = rh + 4
-    b = _conv_stage(l1, b_rows, width, 3, wB_ref[...].astype(cd), precision)
+    b = _conv_stage(l1, b_rows, width, 3, wB_ref[...].astype(cd), precision,
+                    pat_ref)
     l2 = masked(_belu(a[1:1 + b_rows, :, 32:64] + b[..., :32] + b2_ref[0],
                       p2_ref[0]), 5, b_rows)
 
     c_rows = rh + 2
-    c = _conv_stage(l2, c_rows, width, 3, wC_ref[...].astype(cd), precision)
+    c = _conv_stage(l2, c_rows, width, 3, wC_ref[...].astype(cd), precision,
+                    pat_ref)
     l3 = masked(_belu(a[2:2 + c_rows, :, 64:96] + b[1:1 + c_rows, :, 32:64]
                       + c[..., :32] + b3_ref[0], p3_ref[0]), 6, c_rows)
 
-    d = _conv_stage(l3, rh, width, 3, wD_ref[...].astype(cd), precision)
+    d = _conv_stage(l3, rh, width, 3, wD_ref[...].astype(cd), precision,
+                    pat_ref)
     expand = (b[2:2 + rh, :, 64:64 + e].astype(jnp.float32)
               + c[1:1 + rh, :, 32:32 + e].astype(jnp.float32)
               + d[..., :e].astype(jnp.float32) + eb_ref[0])
@@ -189,6 +204,10 @@ def fused_trunk(packed, x, mask=None, factor: int = 3, *, rh: int = 16,
                           slab_map, memory_space=pltpu.VMEM)
     grid_m = pl.BlockSpec(m_block, slab_map, memory_space=pltpu.VMEM)
 
+    # One shared im2col scratch, sized for the largest stage (A: rows rh+6,
+    # K=800; conv0 needs rh+10 rows at K=75 -> rows rh+10 x K 800 covers all).
+    pat_scratch = pltpu.VMEM((rh + 10, side, 800), compute_dtype)
+
     out = pl.pallas_call(
         kernel,
         grid=(bsz, nblk),
@@ -197,6 +216,7 @@ def fused_trunk(packed, x, mask=None, factor: int = 3, *, rh: int = 16,
                                lambda ib, ir: (ib, ir, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, s, side, e), jnp.float32),
+        scratch_shapes=[pat_scratch],
         interpret=interpret,
     )(
         xs,

@@ -55,3 +55,47 @@ def make_sharded_apply(mesh: Mesh, factor: int = 3, compute_dtype=None):
 def shard_batch(mesh: Mesh, batch: np.ndarray) -> jax.Array:
     """Host batch -> device array laid out over the (data, spatial) mesh."""
     return jax.device_put(batch, NamedSharding(mesh, P("data", "spatial", None, None)))
+
+
+def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
+                     *, tile: int = 114, compute_dtype=None) -> np.ndarray:
+    """Overlap-tile inference with the tile batch sharded over the mesh's
+    'data' axis — SURVEY.md §2.4's "batch-of-tiles data parallelism".
+
+    Each chunk of tiles is device_put with a 'data' sharding; the jitted
+    tile kernel then runs embarrassingly parallel across chips (no
+    collectives needed on the forward path; results gather to host).
+    """
+    from rusty_sr_tpu.parallel.tiling import HALO, _tile_kernel
+    from rusty_sr_tpu.utils import native
+
+    n_data = mesh.shape["data"]
+    img = np.asarray(image, dtype=np.float32)
+    hgt, wid, _ = img.shape
+    h = HALO
+    ny = max(1, -(-hgt // tile))
+    nx = max(1, -(-wid // tile))
+    zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
+
+    side = tile + 2 * h
+    n_tiles = ny * nx
+    chunk = n_data * max(1, min(8, -(-n_tiles // n_data)))
+    sh = NamedSharding(mesh, P("data", None, None, None))
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)
+
+    out = np.zeros((hgt * factor, wid * factor, 3), np.float32)
+    for start in range(0, n_tiles, chunk):
+        stop = min(start + chunk, n_tiles)
+        cnt = stop - start
+        zb, eb, mb = zt[start:stop], et[start:stop], mt[start:stop]
+        if cnt < chunk:
+            fill = chunk - cnt
+            zb = np.concatenate([zb, np.zeros((fill, side, side, 3), np.float32)])
+            eb = np.concatenate([eb, np.zeros((fill, side, side, 3), np.float32)])
+            mb = np.concatenate([mb, np.zeros((fill, side, side, 1), np.float32)])
+        res = _tile_kernel(params, jax.device_put(zb, sh),
+                           jax.device_put(eb, sh), jax.device_put(mb, sh),
+                           factor, tile, compute_dtype)
+        native.scatter_tiles(np.asarray(res[:cnt]), start, nx, out)
+    return out

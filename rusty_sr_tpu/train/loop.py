@@ -139,11 +139,18 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
                log: Callable[[str], None] = print,
                mesh: Optional[Mesh] = None,
                max_steps: Optional[int] = None,
+               metrics_file: Optional[str] = None,
                seed: int = 0):
     """Run the reference's training protocol; returns final params.
 
     ``train_batches`` yields (N,crop,crop,3) f32 HR batches (host numpy).
+    ``metrics_file``: optional JSONL observability stream (step, loss, mse,
+    validation PSNR, wall time) — the reference only has stdout
+    (SURVEY.md §5 metrics row).
     """
+    import json
+    import time as _time
+
     params = start_params if start_params is not None else \
         params_lib.init_params(seed, cfg.factor)
     params = jax.tree.map(jnp.asarray, params)
@@ -154,19 +161,35 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
     if max_steps is not None:
         budget_steps = min(budget_steps, max_steps)
 
+    mf = open(metrics_file, "a") if metrics_file else None
+    t_start = _time.time()
     step = 0
-    for hr in train_batches:
-        if hr is None or step >= budget_steps:
-            break
-        step += 1
-        params, opt_state, loss, mse = step_fn(params, opt_state, jnp.asarray(hr))
-        if step % cfg.checkpoint_every == 0 or step == 1:
-            if param_file is not None:
-                host = jax.tree.map(np.asarray, params)
-                params_lib.save_rsr_file(param_file, host, cfg.factor)
-            if val_images:
-                psnr = validation_psnr(params, val_images, cfg)
-                log(f"Validation PSNR:\t{psnr}")
-            else:
-                log(f"step {step}\tloss {float(loss):.6g}\tmse {float(mse):.6g}")
+    try:
+        for hr in train_batches:
+            if hr is None or step >= budget_steps:
+                break
+            step += 1
+            params, opt_state, loss, mse = step_fn(params, opt_state,
+                                                   jnp.asarray(hr))
+            if step % cfg.checkpoint_every == 0 or step == 1:
+                if param_file is not None:
+                    host = jax.tree.map(np.asarray, params)
+                    params_lib.save_rsr_file(param_file, host, cfg.factor)
+                psnr = None
+                if val_images:
+                    psnr = validation_psnr(params, val_images, cfg)
+                    log(f"Validation PSNR:\t{psnr}")
+                else:
+                    log(f"step {step}\tloss {float(loss):.6g}\t"
+                        f"mse {float(mse):.6g}")
+                if mf is not None:
+                    rec = {"step": step, "loss": float(loss),
+                           "mse": float(mse), "wall_s": _time.time() - t_start}
+                    if psnr is not None:
+                        rec["val_psnr"] = psnr
+                    mf.write(json.dumps(rec) + "\n")
+                    mf.flush()
+    finally:
+        if mf is not None:
+            mf.close()
     return jax.tree.map(np.asarray, params)

@@ -1,0 +1,50 @@
+"""Tracing/profiling subsystem (SURVEY.md §5: absent in the reference —
+stdout prints only; TPU-native we expose the XLA profiler).
+
+`trace(dir)` wraps a region in a jax.profiler trace viewable in
+TensorBoard/Perfetto; `device_timer` gives honest steady-state wall timing
+of a jitted fn on this backend (in-jit iteration chaining — host dispatch
+loops measure only tunnel latency on axon, see bench.py).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+from jax import lax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/rusty_sr_trace"):
+    """Capture an XLA profiler trace for the enclosed region."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_timer(fn: Callable, x, *, iters: int = 20, rounds: int = 3,
+                 fold: Callable = None):
+    """Best-of-N seconds per single `fn(x)` pass, measured on device.
+
+    `fn` must map x -> y; `fold` maps y back to x's shape/dtype to carry
+    the inter-iteration data dependency (default: identity, requiring
+    y compatible with x).
+    """
+    fold = fold or (lambda y, x0: y)
+
+    @jax.jit
+    def chained(b):
+        return lax.fori_loop(0, iters, lambda i, c: fold(fn(c), b), b)
+
+    jax.block_until_ready(chained(x))  # compile
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chained(x))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best

@@ -39,7 +39,21 @@ def main():
     xpad = jnp.asarray(rng.random((BATCH, S + 2 * h, S + 2 * h, 3),
                                   dtype=np.float32))
 
-    for rh in (16, 32, 64):
+    # correctness on-chip: golden parity through the fused engine
+    from rusty_sr_tpu.parallel.tiling import tiled_sr
+    from rusty_sr_tpu.utils.imageio import load_image, to_u8, psnr
+    anime = {k: jnp.asarray(v) for k, v in load_builtin("anime").items()}
+    lrimg = load_image("/root/reference/docs/cartoon_lr.png")
+    gold = (load_image("/root/reference/docs/cartoon_rsa.png") * 255
+            ).round().astype(np.uint8)
+    out = tiled_sr(anime, lrimg, 3, tile=50, chunk=8, engine="fused", rh=10,
+                   compute_dtype=jnp.bfloat16)
+    ours = to_u8(out)
+    print(f"fused bf16 golden PSNR: {psnr(ours/255.0, gold/255.0):.2f} dB  "
+          f"maxerr {np.abs(ours.astype(int)-gold.astype(int)).max()}",
+          flush=True)
+
+    for rh in (8, 16):
         def one(c, rh=rh):
             e = fused_trunk(packed, c, None, FACTOR, rh=rh,
                             compute_dtype=jnp.bfloat16)
@@ -60,7 +74,7 @@ def main():
     mask = jnp.asarray(np.ones((BATCH, S + 2 * h, S + 2 * h, 1), np.float32))
 
     def one_m(c):
-        e = fused_trunk(packed, c, mask, FACTOR, rh=32,
+        e = fused_trunk(packed, c, mask, FACTOR, rh=8,
                         compute_dtype=jnp.bfloat16)
         r = jnp.pad(e[..., :3] * 1e-6, ((0, 0), (h, h), (h, h), (0, 0)))
         return c + r
@@ -70,7 +84,7 @@ def main():
         return lax.fori_loop(0, ITERS, lambda i, c: one_m(c), b)
 
     try:
-        timed("pallas trunk rh=32 (masked)", chained_m, xpad)
+        timed("pallas trunk rh=8 (masked)", chained_m, xpad)
     except Exception as ex:  # noqa: BLE001
         print(f"masked FAILED: {type(ex).__name__}: {ex}", flush=True)
 
