@@ -81,6 +81,24 @@ class ImageFolderSupplier:
                 return  # sequential supplier is single-epoch (validation)
 
 
+def shard_files_for_host(files, process_index: Optional[int] = None,
+                         process_count: Optional[int] = None):
+    """Multi-host input sharding over DCN (SURVEY.md §2.4/§5): each host
+    reads a disjoint stripe of the dataset; model/grad sync stays on ICI
+    via the jit sharding, DCN only carries input files.
+
+    Uses `jax.process_index/count` when initialised (multi-host runs via
+    `jax.distributed.initialize`); single-process runs get all files.
+    """
+    if process_index is None or process_count is None:
+        import jax
+        process_index = jax.process_index()
+        process_count = jax.process_count()
+    if process_count <= 1:
+        return list(files)
+    return [f for i, f in enumerate(files) if i % process_count == process_index]
+
+
 class PrefetchBuffer:
     """Background-thread prefetch of batched crops (alumina `Buffer`,
     reference src/main.rs:188: depth 128 for training)."""

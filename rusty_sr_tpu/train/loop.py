@@ -50,12 +50,20 @@ class TrainConfig:
     max_evals: int = 10_000_000    # sample budget, src/main.rs:253
     checkpoint_every: int = 100    # src/main.rs:211
     val_every: int = 100           # src/main.rs:233
+    remat: bool = False            # jax.checkpoint the forward (big crops)
 
 
 def loss_fn(params, hr, cfg: TrainConfig):
-    """Scalar loss + aux (mse) for a batch of HR crops (N,H,W,3)."""
+    """Scalar loss + aux (mse) for a batch of HR crops (N,H,W,3).
+
+    With cfg.remat, the forward is rematerialised in the backward pass
+    (jax.checkpoint) — trades FLOPs for HBM when training on large crops.
+    """
     lr = make_lr_from_hr(hr, cfg.factor)
-    out = sr_apply(params, lr, cfg.factor)
+    fwd = sr_apply
+    if cfg.remat:
+        fwd = jax.checkpoint(sr_apply, static_argnums=(2,))
+    out = fwd(params, lr, cfg.factor)
     if cfg.linear_loss:
         a, b = srgb_to_linear(out), srgb_to_linear(hr)
     else:
