@@ -5,33 +5,35 @@ the net's convs as a separate HBM-roundtrip op with a ~2-3 ms fixed cost at
 these shapes — conv10 (32->27, 3x3) costs *more* than the 10x-heavier
 merged convA.  The win is keeping every intermediate activation in VMEM
 and feeding the MXU back-to-back matmuls: one kernel computes the whole
-trunk (conv0 -> A -> B -> C -> D, SURVEY.md §2.3) per row-block.
+trunk (conv0 -> A -> B -> C -> D, SURVEY.md §2.3) per (row, column) block.
 
-Kernel layout:
+Kernel design:
 
-- Grid: (batch, row-blocks).  Each program computes RH output rows of the
-  `expand` tensor (C = 3*f^2) for one padded tile from an input slab of
-  RH + 2*HALO rows.  Slabs overlap vertically, and Pallas block tilings
-  cannot overlap, so the caller pre-gathers x into (B, nblk, slab, W, C)
-  — a ~2x duplication of a tensor that is <2% of the activation traffic.
-- Every conv stage is an im2col patch build (static shifted VMEM slices,
-  kernel-offset-major, matching HWIO-flat weights) followed by ONE MXU
-  matmul: conv0 (K=75,N=32), A (K=800,N=96), B (K=288,N=64+e),
-  C (K=288,N=32+e), D (K=288,N=e).  Stage row extents shrink by the conv
-  radius per layer (f: +5, l1: +3, l2: +2, l3: +1 rows around the output
-  block), so nothing is recomputed across stages within a block.
-- Columns are computed at full padded-tile width with Same zero-pad at the
-  slab edge; the caller crops the HALO columns, which also removes the
-  tile-edge pollution (same contract as parallel/tiling.py).
+- Grid: (batch, row-blocks, col-blocks).  Each program computes an
+  (RH, CW) block of the `expand` tensor (C = 3*f^2) from an input slab of
+  (RH+2*HALO, CW+2*HALO).  Slabs overlap spatially and Pallas block
+  tilings cannot overlap, so the caller pre-gathers x into
+  (B, nrb, ncb, slab_r, slab_c, 3) — a ~3x duplication of a tensor that
+  is <2% of the activation traffic.
+- Stage extents shrink by the conv radius per layer in BOTH dims
+  (f: +5, l1: +3, l2: +2, l3: +1 around the output block), so nothing is
+  recomputed across stages within a block and no in-kernel padding is
+  needed — the outermost HALO ring of the caller's zero-padded tiles
+  supplies the true-border zeros.
+- Every conv stage is an im2col patch build into a shared VMEM scratch
+  (explicit stores, which relayout arbitrary vector offsets — Mosaic's
+  concat cannot: 'offset mismatch on non-concat dimension'), followed by
+  one MXU matmul per K-chunk (kernel offsets grouped so K <= 512, which
+  bounds the scratch and the reshape copy; VMEM budget measured 24.8 MB
+  un-chunked at full width vs the 16 MB scoped limit).
 - The border mask (1 inside the true image) multiplies every activation so
   image-border zero-pad semantics match the reference (every alumina conv
-  zero-pads at the true border, src/network.rs Padding::Same).  Pass
-  mask=None for fully-interior batches (e.g. benchmarks) to skip the
-  multiplies.
+  zero-pads at the true border, src/network.rs Padding::Same); see
+  parallel/tiling.py.  Pass mask=None for interior batches to skip it.
 
 Exact-parity mode: compute_dtype=jnp.float32 uses HIGHEST-precision dots
 (6-pass bf16 on the MXU = exact f32).  Throughput mode uses bf16 operands
-with f32 accumulation.
+with f32 accumulation in the matmuls and bf16 activations between stages.
 """
 
 from __future__ import annotations
@@ -44,7 +46,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HALO = 7  # trunk receptive-field radius in LR px (SURVEY.md §7)
+HALO = 7   # trunk receptive-field radius in LR px (SURVEY.md §7)
+_KMAX = 512  # max matmul K per chunk (bounds patch scratch)
 
 
 def pack_trunk_weights(params, factor: int = 3, dtype=jnp.bfloat16):
@@ -53,7 +56,7 @@ def pack_trunk_weights(params, factor: int = 3, dtype=jnp.bfloat16):
     HWIO `reshape(-1, O)` is exactly the patch order the kernel builds
     (row-offset, col-offset, channel) and merges same-source convs
     (conv1/2/3 -> A etc.; cf. models.sr_net.merge_params).  Bias/BeLU
-    vectors are packed 2-D (1, N) for SMEM/VMEM friendliness.
+    vectors are packed 2-D (1, N).
     """
     def flat(w):
         w = jnp.asarray(w)
@@ -80,29 +83,31 @@ def pack_trunk_weights(params, factor: int = 3, dtype=jnp.bfloat16):
     }
 
 
-def _conv_stage(src, rows_out, width, kh, w_flat, precision, pat_ref):
-    """im2col patch build into VMEM scratch + one MXU matmul.
+def _conv_stage(src, rows_out, cols_out, kh, w_flat, precision, pat_ref):
+    """im2col into VMEM scratch + K-chunked MXU matmuls.
 
-    src: (rows_out+kh-1, width, Cin) with vertical halo included; columns
-    are Same-zero-padded here.  The shifted slices are *stored* into
-    ``pat_ref`` (stores relayout arbitrary vector offsets; Mosaic's concat
-    cannot — 'offset mismatch on non-concat dimension'), then read back
-    offset-0 for a single (M, K) x (K, N) dot.
+    src: (rows_out+kh-1, cols_out+kh-1, Cin), halo included in both dims.
+    Kernel offsets are grouped so each chunk's K = group*Cin <= _KMAX;
+    each group fills the scratch once and issues one (M, K) x (K, N) dot,
+    accumulating in f32.
     """
-    r = kh // 2
     cin = src.shape[-1]
-    srcp = jnp.pad(src, ((0, 0), (r, r), (0, 0)))
-    k_tot = kh * kh * cin
-    for dy in range(kh):
-        for dx in range(kh):
-            k = dy * kh + dx
-            pat_ref[0:rows_out, 0:width, k * cin:(k + 1) * cin] = \
-                srcp[dy:dy + rows_out, dx:dx + width, :]
-    pat = pat_ref[0:rows_out, 0:width, 0:k_tot]
-    pat = pat.reshape(rows_out * width, k_tot)
-    out = jnp.dot(pat, w_flat, preferred_element_type=jnp.float32,
-                  precision=precision)
-    return out.reshape(rows_out, width, w_flat.shape[-1])
+    offsets = [(dy, dx) for dy in range(kh) for dx in range(kh)]
+    per_chunk = max(1, _KMAX // cin)
+    out = None
+    for c0 in range(0, len(offsets), per_chunk):
+        group = offsets[c0:c0 + per_chunk]
+        k_chunk = len(group) * cin
+        for g, (dy, dx) in enumerate(group):
+            pat_ref[0:rows_out, 0:cols_out, g * cin:(g + 1) * cin] = \
+                src[dy:dy + rows_out, dx:dx + cols_out, :]
+        pat = pat_ref[0:rows_out, 0:cols_out, 0:k_chunk]
+        pat = pat.reshape(rows_out * cols_out, k_chunk)
+        w_c = w_flat[c0 * cin:c0 * cin + k_chunk, :]
+        part = jnp.dot(pat, w_c, preferred_element_type=jnp.float32,
+                       precision=precision)
+        out = part if out is None else out + part
+    return out.reshape(rows_out, cols_out, w_flat.shape[-1])
 
 
 def _belu(x, p):
@@ -113,114 +118,122 @@ def _trunk_kernel(x_ref, m_ref,
                   w0_ref, wA_ref, wB_ref, wC_ref, wD_ref,
                   fb_ref, fp_ref, b1_ref, p1_ref, b2_ref, p2_ref,
                   b3_ref, p3_ref, eb_ref,
-                  out_ref, pat_ref, *, rh: int, width: int, e: int,
+                  out_ref, pat_ref, *, rh: int, cw: int, e: int,
                   compute_dtype, use_mask: bool):
     cd = compute_dtype
     precision = (lax.Precision.HIGHEST if cd == jnp.float32 else None)
 
-    def masked(act, start, nrows):
+    def masked(act, off, nr, nc):
+        act = act.astype(cd)
         if not use_mask:
-            return act.astype(cd)
-        m = m_ref[pl.ds(start, nrows), :, :].astype(act.dtype)
-        return (act * m).astype(cd)
+            return act
+        m = m_ref[pl.ds(off, nr), pl.ds(off, nc), :].astype(cd)
+        return act * m
 
-    # slab row 0 == output row -HALO; stage base rows: f:-5, l1:-3, l2:-2,
-    # l3:-1, expand:0  => slab offsets 2, 4, 5, 6, 7.
-    x = x_ref[...].astype(cd)                             # (rh+14, W, 3)
+    # slab origin == output origin - HALO; stage bases (both dims):
+    # f: -5 (slab off 2), l1: -3 (4), l2: -2 (5), l3: -1 (6), expand: 0 (7)
+    x = x_ref[...].astype(cd)                       # (rh+14, cw+14, 3)
 
-    f_rows = rh + 10
-    f = _conv_stage(x, f_rows, width, 5, w0_ref[...].astype(cd), precision,
-                    pat_ref)
-    f = masked(_belu(f + fb_ref[0], fp_ref[0]), 2, f_rows)
+    f = _conv_stage(x, rh + 10, cw + 10, 5, w0_ref[...].astype(cd),
+                    precision, pat_ref)
+    f = masked(_belu(f + fb_ref[0], fp_ref[0]), 2, rh + 10, cw + 10)
 
-    a_rows = rh + 6
-    a = _conv_stage(f, a_rows, width, 5, wA_ref[...].astype(cd), precision,
-                    pat_ref)
-    l1 = masked(_belu(a[..., :32] + b1_ref[0], p1_ref[0]), 4, a_rows)
+    a = _conv_stage(f, rh + 6, cw + 6, 5, wA_ref[...].astype(cd),
+                    precision, pat_ref)
+    l1 = masked(_belu(a[..., :32] + b1_ref[0], p1_ref[0]), 4, rh + 6, cw + 6)
+    a = a.astype(cd)
 
-    b_rows = rh + 4
-    b = _conv_stage(l1, b_rows, width, 3, wB_ref[...].astype(cd), precision,
-                    pat_ref)
-    l2 = masked(_belu(a[1:1 + b_rows, :, 32:64] + b[..., :32] + b2_ref[0],
-                      p2_ref[0]), 5, b_rows)
+    b = _conv_stage(l1, rh + 4, cw + 4, 3, wB_ref[...].astype(cd),
+                    precision, pat_ref)
+    l2 = masked(_belu(a[1:rh + 5, 1:cw + 5, 32:64] + b[..., :32]
+                      + b2_ref[0], p2_ref[0]), 5, rh + 4, cw + 4)
+    b = b.astype(cd)
 
-    c_rows = rh + 2
-    c = _conv_stage(l2, c_rows, width, 3, wC_ref[...].astype(cd), precision,
-                    pat_ref)
-    l3 = masked(_belu(a[2:2 + c_rows, :, 64:96] + b[1:1 + c_rows, :, 32:64]
-                      + c[..., :32] + b3_ref[0], p3_ref[0]), 6, c_rows)
+    c = _conv_stage(l2, rh + 2, cw + 2, 3, wC_ref[...].astype(cd),
+                    precision, pat_ref)
+    l3 = masked(_belu(a[2:rh + 4, 2:cw + 4, 64:96] + b[1:rh + 3, 1:cw + 3, 32:64]
+                      + c[..., :32] + b3_ref[0], p3_ref[0]), 6, rh + 2, cw + 2)
+    c = c.astype(cd)
 
-    d = _conv_stage(l3, rh, width, 3, wD_ref[...].astype(cd), precision,
-                    pat_ref)
-    expand = (b[2:2 + rh, :, 64:64 + e].astype(jnp.float32)
-              + c[1:1 + rh, :, 32:32 + e].astype(jnp.float32)
-              + d[..., :e].astype(jnp.float32) + eb_ref[0])
+    d = _conv_stage(l3, rh, cw, 3, wD_ref[...].astype(cd), precision, pat_ref)
+    expand = (b[2:rh + 2, 2:cw + 2, 64:64 + e].astype(jnp.float32)
+              + c[1:rh + 1, 1:cw + 1, 32:32 + e].astype(jnp.float32)
+              + d[..., :e] + eb_ref[0])
     out_ref[...] = expand.astype(out_ref.dtype)
 
 
+def _pick_cw(s: int) -> int:
+    """Largest divisor of s that is <= 160 (VMEM-friendly block width)."""
+    if s <= 160:
+        return s
+    for cand in range(min(160, s), 0, -1):
+        if s % cand == 0:
+            return cand
+    return s
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("factor", "rh", "compute_dtype",
+                   static_argnames=("factor", "rh", "cw", "compute_dtype",
                                     "interpret"))
-def fused_trunk(packed, x, mask=None, factor: int = 3, *, rh: int = 16,
-                compute_dtype=jnp.bfloat16, interpret: bool = False):
+def fused_trunk(packed, x, mask=None, factor: int = 3, *, rh: int = 8,
+                cw: int = 0, compute_dtype=jnp.bfloat16,
+                interpret: bool = False):
     """Compute the `expand` tensor for zero-padded tiles, fused in VMEM.
 
     x: (B, S+2h, S+2h, 3) zero-padded tiles (h = HALO); mask likewise
     (B, S+2h, S+2h, 1) or None for interior tiles.  Returns
     (B, S, S, 3*factor^2): the pre-shuffle residual, halo cropped.
+    ``rh``/``cw`` are the per-program output block dims (cw=0 picks a
+    divisor of S near 128 automatically).
     """
     bsz, side, _, _ = x.shape
     h = HALO
     s = side - 2 * h
     e = 3 * factor * factor
     interpret = interpret or jax.default_backend() == "cpu"
-    assert s % rh == 0, f"output rows {s} must divide row-block {rh}"
-    nblk = s // rh
-    slab = rh + 2 * h
+    cw = cw or _pick_cw(s)
+    assert s % rh == 0 and s % cw == 0, (s, rh, cw)
+    nrb, ncb = s // rh, s // cw
+    slab_r, slab_c = rh + 2 * h, cw + 2 * h
     use_mask = mask is not None
 
-    # Overlapping vertical slabs, pre-gathered (Pallas blocks cannot
-    # overlap).  Input is tiny relative to activations; ~2x duplication.
     def slabify(t):
-        return jnp.stack([t[:, i * rh:i * rh + slab] for i in range(nblk)],
-                         axis=1)
+        rows = jnp.stack([t[:, i * rh:i * rh + slab_r] for i in range(nrb)], 1)
+        return jnp.stack(
+            [rows[:, :, :, j * cw:j * cw + slab_c, :] for j in range(ncb)], 2)
 
     xs = slabify(x)
     ms = slabify(mask) if use_mask else jnp.zeros(
-        (bsz, nblk, 1, 1, 1), x.dtype)
+        (bsz, nrb, ncb, 1, 1, 1), x.dtype)
 
-    def slab_map(ib, ir):
-        return (ib, ir, 0, 0, 0)
+    def slab_map(ib, ir, ic):
+        return (ib, ir, ic, 0, 0, 0)
 
-    m_block = ((None, None, slab, side, 1) if use_mask
-               else (None, None, 1, 1, 1))
+    m_block = ((None, None, None, slab_r, slab_c, 1) if use_mask
+               else (None, None, None, 1, 1, 1))
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(5)]
     vec_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(9)]
 
-    kernel = functools.partial(_trunk_kernel, rh=rh, width=side, e=e,
+    kernel = functools.partial(_trunk_kernel, rh=rh, cw=cw, e=e,
                                compute_dtype=compute_dtype, use_mask=use_mask)
-
-    grid_x = pl.BlockSpec((None, None, slab, side, 3),
-                          slab_map, memory_space=pltpu.VMEM)
-    grid_m = pl.BlockSpec(m_block, slab_map, memory_space=pltpu.VMEM)
-
-    # One shared im2col scratch, sized for the largest stage (A: rows rh+6,
-    # K=800; conv0 needs rh+10 rows at K=75 -> rows rh+10 x K 800 covers all).
-    pat_scratch = pltpu.VMEM((rh + 10, side, 800), compute_dtype)
 
     out = pl.pallas_call(
         kernel,
-        grid=(bsz, nblk),
-        in_specs=[grid_x, grid_m, *w_specs, *vec_specs],
-        out_specs=pl.BlockSpec((None, rh, side, e),
-                               lambda ib, ir: (ib, ir, 0, 0),
+        grid=(bsz, nrb, ncb),
+        in_specs=[
+            pl.BlockSpec((None, None, None, slab_r, slab_c, 3), slab_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(m_block, slab_map, memory_space=pltpu.VMEM),
+            *w_specs, *vec_specs,
+        ],
+        out_specs=pl.BlockSpec((None, rh, cw, e),
+                               lambda ib, ir, ic: (ib, ir, ic, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, s, side, e), jnp.float32),
-        scratch_shapes=[pat_scratch],
+        out_shape=jax.ShapeDtypeStruct((bsz, s, s, e), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rh + 10, cw + 10, _KMAX), compute_dtype)],
         interpret=interpret,
     )(
-        xs,
-        ms,
+        xs, ms,
         packed["w0"], packed["wA"], packed["wB"], packed["wC"], packed["wD"],
         packed["f_bias"], packed["f_belu"],
         packed["l1_bias"], packed["l1_belu"],
@@ -228,4 +241,4 @@ def fused_trunk(packed, x, mask=None, factor: int = 3, *, rh: int = 16,
         packed["l3_bias"], packed["l3_belu"],
         packed["expand_bias"],
     )
-    return out[:, :, h:h + s, :]
+    return out

@@ -133,6 +133,8 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 114,
             packed = pack_trunk_weights(
                 params, factor,
                 dtype=jnp.float32 if dt == jnp.float32 else jnp.bfloat16)
+        if tile % rh != 0:  # kernel row-block must divide the tile
+            rh = next(d for d in range(rh, 0, -1) if tile % d == 0)
         run = lambda z, e, m: _tile_kernel_fused(  # noqa: E731
             packed, z, e, m, factor, tile, rh, compute_dtype or jnp.bfloat16)
     else:
@@ -142,6 +144,10 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 114,
     side = tile + 2 * h
     n_tiles = ny * nx
     out = np.zeros((hgt * factor, wid * factor, 3), np.float32)
+    # Dispatch all chunks first (jax dispatch is async), then fetch+scatter:
+    # overlaps device compute/transfer across chunks instead of paying a
+    # full round-trip per chunk.
+    pending = []
     for start in range(0, n_tiles, chunk):
         stop = min(start + chunk, n_tiles)
         cnt = stop - start
@@ -151,6 +157,8 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 114,
             zb = np.concatenate([zb, np.zeros((fill, side, side, 3), np.float32)])
             eb = np.concatenate([eb, np.zeros((fill, side, side, 3), np.float32)])
             mb = np.concatenate([mb, np.zeros((fill, side, side, 1), np.float32)])
-        res = run(device_put(zb), device_put(eb), device_put(mb))
+        pending.append(
+            (start, cnt, run(device_put(zb), device_put(eb), device_put(mb))))
+    for start, cnt, res in pending:
         native.scatter_tiles(np.asarray(res[:cnt]), start, nx, out)
     return out
