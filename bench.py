@@ -24,16 +24,17 @@ import jax.numpy as jnp
 
 def main():
     from rusty_sr_tpu import load_builtin
-    from rusty_sr_tpu.models.sr_net import sr_apply
+    from rusty_sr_tpu.models.sr_net import sr_apply_fused, merge_params
 
     factor = 3
     batch, side = 8, 256  # 8 x 256^2 LR -> 4.7 HR MPix per dispatch
-    params = {k: jnp.asarray(v) for k, v in load_builtin("imagenet").items()}
+    params = merge_params(
+        {k: jnp.asarray(v) for k, v in load_builtin("imagenet").items()})
     x = jnp.asarray(np.random.default_rng(0).random(
         (batch, side, side, 3), dtype=np.float32))
 
-    # Throughput mode: bf16 trunk (explicit opt-in; parity mode is f32 and
-    # is what the golden tests gate on).
+    # Throughput mode: bf16 trunk with merged same-source convs (explicit
+    # opt-in; parity mode is f32 and is what the golden tests gate on).
     #
     # The timed loop is a lax.fori_loop *inside* jit with a data dependency
     # between iterations (each iteration consumes the previous output), so
@@ -42,7 +43,7 @@ def main():
     iters = 20
 
     def one_pass(b):
-        out = sr_apply(params, b, factor, compute_dtype=jnp.bfloat16)
+        out = sr_apply_fused(params, b, factor, compute_dtype=jnp.bfloat16)
         # fold the HR output back to LR size to carry the dependency
         return out[:, :side, :side, :] * 1e-6 + x
 

@@ -27,3 +27,9 @@ from rusty_sr_tpu.models.sr_net import (  # noqa: F401
     bilinear_apply,
     downsample_apply,
 )
+from rusty_sr_tpu.api import (  # noqa: F401
+    upscale,
+    upscale_bilinear,
+    downscale,
+    train_folder,
+)

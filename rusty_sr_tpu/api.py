@@ -1,0 +1,115 @@
+"""High-level Python API.
+
+>>> import rusty_sr_tpu
+>>> hr = rusty_sr_tpu.upscale(img, weights="anime")          # (H,W,3) f32
+>>> lr = rusty_sr_tpu.downscale(img)                          # gamma-correct
+>>> params = rusty_sr_tpu.train_folder("photos/", steps=1000)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+
+from rusty_sr_tpu import params as params_lib
+
+_PARAM_CACHE: dict = {}
+
+
+def _resolve_params(weights: Union[str, dict], factor: int):
+    if isinstance(weights, dict):
+        return weights
+    key = (weights, factor)
+    if key not in _PARAM_CACHE:
+        import jax.numpy as jnp
+        if weights in params_lib.BUILTIN_WEIGHTS:
+            tree = params_lib.load_builtin(weights, factor)
+        else:
+            tree = params_lib.load_rsr_file(weights, factor)
+        _PARAM_CACHE[key] = {k: jnp.asarray(v) for k, v in tree.items()}
+    return _PARAM_CACHE[key]
+
+
+def upscale(image: np.ndarray, weights: Union[str, dict] = "imagenet",
+            factor: int = 3, *, fast: bool = False, engine: str = "xla",
+            tile: int = 114, chunk: int = 8) -> np.ndarray:
+    """Upscale an (H,W,3) f32 sRGB image by `factor`.
+
+    ``weights``: builtin name ('imagenet', 'imagenetlinear', 'anime'), a
+    path to a `.rsr` file, or a param pytree.  ``fast`` switches the conv
+    trunk to bf16 (≤2 u8-code deviation); ``engine`` 'xla' or 'fused'.
+    """
+    import jax.numpy as jnp
+    from rusty_sr_tpu.parallel.tiling import tiled_sr
+
+    tree = _resolve_params(weights, factor)
+    return tiled_sr(tree, np.asarray(image, np.float32), factor, tile=tile,
+                    chunk=chunk, engine=engine,
+                    compute_dtype=jnp.bfloat16 if fast else None)
+
+
+def upscale_bilinear(image: np.ndarray, factor: int = 3) -> np.ndarray:
+    """Gamma-correct bilinear upscale (the reference's `-p bilinear`)."""
+    import jax.numpy as jnp
+    from rusty_sr_tpu.models.sr_net import bilinear_apply
+    out = bilinear_apply(jnp.asarray(image, jnp.float32)[None], factor)
+    return np.asarray(out[0])
+
+
+def downscale(image: np.ndarray, factor: int = 3) -> np.ndarray:
+    """Gamma-correct f x f mean downsample (the reference's `-d`)."""
+    import jax.numpy as jnp
+    from rusty_sr_tpu.models.sr_net import downsample_apply
+    img = np.asarray(image, np.float32)
+    h, w, _ = img.shape
+    img = img[: h - h % factor, : w - w % factor]
+    out = downsample_apply(jnp.asarray(img)[None], factor)
+    return np.asarray(out[0])
+
+
+def train_folder(folder: str, *, steps: Optional[int] = None,
+                 factor: int = 3, recurse: bool = False,
+                 start: Union[str, dict, None] = None,
+                 param_file: Optional[str] = None,
+                 linear_loss: bool = False, loss: str = "mse",
+                 val_folder: Optional[str] = None, val_max: Optional[int] = None,
+                 metrics_file: Optional[str] = None, seed: int = 0):
+    """Train on an image folder with the reference protocol; returns params."""
+    from rusty_sr_tpu.train.data import (
+        ImageFolderSupplier, PrefetchBuffer, list_images)
+    from rusty_sr_tpu.train.loop import TrainConfig, train_loop
+    from rusty_sr_tpu.utils.imageio import load_image
+
+    cfg = TrainConfig(factor=factor, linear_loss=linear_loss, loss_kind=loss)
+    sup = ImageFolderSupplier(folder, recurse=recurse,
+                              crop=(cfg.crop, cfg.crop), seed=seed)
+    buf = PrefetchBuffer(sup, depth=128, batch_size=cfg.batch_size)
+
+    start_tree = None
+    if isinstance(start, str):
+        start_tree = params_lib.load_rsr_file(start, factor)
+    elif isinstance(start, dict):
+        start_tree = start
+
+    val_images = None
+    if val_folder:
+        files = list_images(val_folder, recurse)
+        if val_max is not None:
+            files = files[:val_max]
+        val_images = [load_image(f) for f in files]
+
+    def batches():
+        while True:
+            b = buf.next_batch()
+            if b is None:
+                return
+            yield b
+
+    try:
+        return train_loop(cfg, batches(), start_params=start_tree,
+                          param_file=param_file, val_images=val_images,
+                          max_steps=steps, metrics_file=metrics_file,
+                          seed=seed)
+    finally:
+        buf.close()

@@ -30,7 +30,7 @@ from rusty_sr_tpu.ops.activations import belu
 from rusty_sr_tpu.ops.color import srgb_to_linear, linear_to_srgb
 from rusty_sr_tpu.ops.conv import conv2d_same
 from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
-from rusty_sr_tpu.ops.resize import upsample_bilinear, avg_pool
+from rusty_sr_tpu.ops.resize import upsample_bilinear, avg_pool, bilinear_phases
 
 
 def sr_apply(params, x: jnp.ndarray, factor: int = 3, *, compute_dtype=None,
@@ -90,9 +90,14 @@ def merge_params(params, as_jax: bool = True):
 
 def sr_apply_fused(mparams, x: jnp.ndarray, factor: int = 3, *,
                    compute_dtype=None, conv_fn=None) -> jnp.ndarray:
-    """sr_apply over `merge_params` output — identical math, wide convs."""
+    """sr_apply over `merge_params` output — identical math, wide convs.
+
+    The bilinear base is added in LR space as phase images
+    (ops.resize.bilinear_phases) so the only HR-sized op is the final
+    depth_to_space — measured 3.7 ms/pass cheaper than an HR-space add at
+    8x256^2 on v5e (scripts/perf_probe6.py).
+    """
     p = mparams
-    base = upsample_bilinear(x, factor)
     e = x.shape[-1] * factor * factor
 
     xc = x if compute_dtype is None else x.astype(compute_dtype)
@@ -115,8 +120,8 @@ def sr_apply_fused(mparams, x: jnp.ndarray, factor: int = 3, *,
               p["l3_belu"])
     expand = (b[..., 64:64 + e] + c[..., 32:32 + e] + cv(l3, "conv10")
               + p["expand_bias"])
-    residual = depth_to_space(expand, factor)
-    return base + residual.astype(base.dtype)
+    base_ph = bilinear_phases(x, factor)
+    return depth_to_space(base_ph + expand.astype(base_ph.dtype), factor)
 
 
 def bilinear_apply(x: jnp.ndarray, factor: int = 3) -> jnp.ndarray:

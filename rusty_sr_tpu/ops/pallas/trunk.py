@@ -83,13 +83,15 @@ def pack_trunk_weights(params, factor: int = 3, dtype=jnp.bfloat16):
     }
 
 
-def _conv_stage(src, rows_out, cols_out, kh, w_flat, precision, pat_ref):
+def _conv_stage(src, rows_out, cols_out, kh, w_flat, precision, pat_ref,
+                rank3: bool = True):
     """im2col into VMEM scratch + K-chunked MXU matmuls.
 
     src: (rows_out+kh-1, cols_out+kh-1, Cin), halo included in both dims.
     Kernel offsets are grouped so each chunk's K = group*Cin <= _KMAX;
-    each group fills the scratch once and issues one (M, K) x (K, N) dot,
-    accumulating in f32.
+    each group fills the scratch once and issues one matmul, accumulating
+    in f32.  rank3=True contracts K on the rank-3 patches directly
+    (avoids the (rows,cols,K)->(rows*cols,K) relayout copy).
     """
     cin = src.shape[-1]
     offsets = [(dy, dx) for dy in range(kh) for dx in range(kh)]
@@ -102,12 +104,18 @@ def _conv_stage(src, rows_out, cols_out, kh, w_flat, precision, pat_ref):
             pat_ref[0:rows_out, 0:cols_out, g * cin:(g + 1) * cin] = \
                 src[dy:dy + rows_out, dx:dx + cols_out, :]
         pat = pat_ref[0:rows_out, 0:cols_out, 0:k_chunk]
-        pat = pat.reshape(rows_out * cols_out, k_chunk)
         w_c = w_flat[c0 * cin:c0 * cin + k_chunk, :]
-        part = jnp.dot(pat, w_c, preferred_element_type=jnp.float32,
-                       precision=precision)
+        if rank3:
+            part = lax.dot_general(
+                pat, w_c, dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+        else:
+            part = jnp.dot(pat.reshape(rows_out * cols_out, k_chunk), w_c,
+                           preferred_element_type=jnp.float32,
+                           precision=precision
+                           ).reshape(rows_out, cols_out, w_flat.shape[-1])
         out = part if out is None else out + part
-    return out.reshape(rows_out, cols_out, w_flat.shape[-1])
+    return out
 
 
 def _belu(x, p):
@@ -174,10 +182,10 @@ def _pick_cw(s: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("factor", "rh", "cw", "compute_dtype",
-                                    "interpret"))
+                                    "interpret", "vmem_mb"))
 def fused_trunk(packed, x, mask=None, factor: int = 3, *, rh: int = 8,
                 cw: int = 0, compute_dtype=jnp.bfloat16,
-                interpret: bool = False):
+                interpret: bool = False, vmem_mb: int = 0):
     """Compute the `expand` tensor for zero-padded tiles, fused in VMEM.
 
     x: (B, S+2h, S+2h, 3) zero-padded tiles (h = HALO); mask likewise
@@ -231,6 +239,8 @@ def fused_trunk(packed, x, mask=None, factor: int = 3, *, rh: int = 8,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, s, s, e), jnp.float32),
         scratch_shapes=[pltpu.VMEM((rh + 10, cw + 10, _KMAX), compute_dtype)],
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 2**20) if vmem_mb else None),
         interpret=interpret,
     )(
         xs, ms,

@@ -59,6 +59,46 @@ def upsample_bilinear(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     return _upsample_axis(_upsample_axis(x, factor, 1), factor, 2)
 
 
+def _phase_taps(x: jnp.ndarray, f: int, axis: int):
+    """Per-phase 2-tap (lo, hi, w) views along `axis` (edge-padded)."""
+    n = x.shape[axis]
+    xe = jnp.concatenate(
+        [lax.slice_in_dim(x, 0, 1, axis=axis), x,
+         lax.slice_in_dim(x, n - 1, n, axis=axis)], axis=axis)
+
+    def slc(start):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(start, start + n)
+        return xe[tuple(idx)]
+
+    out = []
+    for fy in range(f):
+        alpha = (fy + 0.5) / f - 0.5
+        d = int(np.floor(alpha))
+        w = np.float32(alpha - d)
+        out.append((slc(1 + d), slc(2 + d), w))
+    return out
+
+
+def bilinear_phases(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """LR-space phase decomposition of `upsample_bilinear`:
+
+        depth_to_space(bilinear_phases(x, f), f) == upsample_bilinear(x, f)
+
+    Returns (N,H,W,f*f*C) with the reference's Expand channel order
+    ``(fy*f + fx)*C + c`` (SURVEY.md §8.6), so the SR residual can be added
+    in LR space and shuffled once — keeping the whole output path fused
+    with the trunk epilogue instead of touching HR-sized tensors twice.
+    """
+    rows = _phase_taps(x, factor, 1)
+    blocks = []
+    for lo_r, hi_r, wr in rows:
+        xr = lo_r * (1.0 - wr) + hi_r * wr if wr != 0.0 else lo_r
+        for lo_c, hi_c, wc in _phase_taps(xr, factor, 2):
+            blocks.append(lo_c * (1.0 - wc) + hi_c * wc if wc != 0.0 else lo_c)
+    return jnp.concatenate(blocks, axis=-1)
+
+
 def avg_pool(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """x: (N,H,W,C) -> (N,H//f,W//f,C) mean pool, stride f, valid padding."""
     f = factor

@@ -55,7 +55,7 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
     from rusty_sr_tpu.ops.activations import belu
     from rusty_sr_tpu.ops.conv import conv2d_same
     from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
-    from rusty_sr_tpu.ops.resize import upsample_bilinear
+    from rusty_sr_tpu.ops.resize import bilinear_phases
 
     h = HALO
     x = zero_tiles
@@ -79,13 +79,11 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
                      + p["l3_bias"], p["l3_belu"])
     expand = (cv(l1, "conv7") + cv(l2, "conv9") + cv(l3, "conv10")
               + p["expand_bias"])
-    # Crop the halo in LR space *before* depth_to_space: 9x less data.
-    expand = expand[:, h:h + tile, h:h + tile, :]
-    residual = depth_to_space(expand.astype(jnp.float32), factor)
-
-    base = upsample_bilinear(edge_tiles, factor)
-    base = base[:, factor * h:factor * (h + tile), factor * h:factor * (h + tile), :]
-    return base + residual
+    # LR-space base (exact f32) + halo crop before the single HR-sized op.
+    base_ph = bilinear_phases(edge_tiles, factor)
+    total = base_ph[:, h:h + tile, h:h + tile, :] + \
+        expand[:, h:h + tile, h:h + tile, :].astype(jnp.float32)
+    return depth_to_space(total, factor)
 
 
 @functools.partial(jax.jit, static_argnames=("factor", "tile", "rh",
@@ -95,15 +93,13 @@ def _tile_kernel_fused(packed, zero_tiles, edge_tiles, mask_tiles,
     """Fused-Pallas engine: trunk in one kernel, base+shuffle in XLA."""
     from rusty_sr_tpu.ops.pallas.trunk import fused_trunk
     from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
-    from rusty_sr_tpu.ops.resize import upsample_bilinear
+    from rusty_sr_tpu.ops.resize import bilinear_phases
 
     h = HALO
     expand = fused_trunk(packed, zero_tiles, mask_tiles, factor, rh=rh,
                          compute_dtype=compute_dtype)
-    residual = depth_to_space(expand, factor)
-    base = upsample_bilinear(edge_tiles, factor)
-    base = base[:, factor * h:factor * (h + tile), factor * h:factor * (h + tile), :]
-    return base + residual
+    base_ph = bilinear_phases(edge_tiles, factor)[:, h:h + tile, h:h + tile, :]
+    return depth_to_space(base_ph + expand, factor)
 
 
 def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 114,

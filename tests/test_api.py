@@ -1,0 +1,57 @@
+"""High-level API + edge cases (tiny images, odd sizes)."""
+
+import numpy as np
+import pytest
+
+import rusty_sr_tpu
+from rusty_sr_tpu.utils.imageio import load_image, psnr
+
+RNG = np.random.default_rng(13)
+
+
+def test_upscale_builtin_parity():
+    lr = load_image("/root/reference/docs/cartoon_lr.png")
+    out = rusty_sr_tpu.upscale(lr, weights="anime")
+    gold = load_image("/root/reference/docs/cartoon_rsa.png")
+    assert out.shape == gold.shape
+    assert psnr(np.clip(out, 0, 1), gold) > 55.0
+
+
+def test_upscale_param_cache_reuse():
+    lr = RNG.random((12, 12, 3), dtype=np.float32)
+    a = rusty_sr_tpu.upscale(lr, weights="anime", tile=16)
+    b = rusty_sr_tpu.upscale(lr, weights="anime", tile=16)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_tiny_image():
+    """1-pixel and 1-row images must upscale without error."""
+    one = np.full((1, 1, 3), 0.5, np.float32)
+    out = rusty_sr_tpu.upscale(one, weights="anime", tile=16)
+    assert out.shape == (3, 3, 3)
+    row = RNG.random((1, 9, 3), dtype=np.float32)
+    out = rusty_sr_tpu.upscale(row, weights="anime", tile=16)
+    assert out.shape == (3, 27, 3)
+
+
+def test_downscale_and_bilinear():
+    img = RNG.random((10, 13, 3), dtype=np.float32)
+    down = rusty_sr_tpu.downscale(img)       # crops to 9x12 then pools
+    assert down.shape == (3, 4, 3)
+    up = rusty_sr_tpu.upscale_bilinear(down, 3)
+    assert up.shape == (9, 12, 3)
+
+
+def test_train_folder_api(tmp_path):
+    from rusty_sr_tpu.utils.imageio import save_image
+    for i in range(2):
+        save_image(str(tmp_path / f"{i}.png"),
+                   RNG.random((64, 64, 3)).astype(np.float32))
+    ck = tmp_path / "w.rsr"
+    mf = tmp_path / "m.jsonl"
+    params = rusty_sr_tpu.train_folder(str(tmp_path), steps=2,
+                                       param_file=str(ck),
+                                       metrics_file=str(mf))
+    assert ck.exists() and ck.stat().st_size == 1_043_676
+    assert mf.exists() and mf.read_text().strip()
+    assert rusty_sr_tpu.pytree_to_flat(params, 3).shape == (130_459,)
