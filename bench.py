@@ -55,9 +55,13 @@ def main():
 
     hr_mpix = batch * side * side * factor * factor / 1e6
     best = 0.0
-    for _ in range(3):
+    for r in range(3):
+        # vary the input per round: repeated identical dispatches can be
+        # served from a result cache on this backend
+        xr = x * (1.0 + 1e-4 * (r + 1))
+        jax.block_until_ready(xr)
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(x))
+        jax.block_until_ready(chained(xr))
         dt = time.perf_counter() - t0
         best = max(best, iters * hr_mpix / dt)
 

@@ -121,7 +121,12 @@ def sr_apply_fused(mparams, x: jnp.ndarray, factor: int = 3, *,
     expand = (b[..., 64:64 + e] + c[..., 32:32 + e] + cv(l3, "conv10")
               + p["expand_bias"])
     base_ph = bilinear_phases(x, factor)
-    return depth_to_space(base_ph + expand.astype(base_ph.dtype), factor)
+    total = base_ph + expand.astype(base_ph.dtype)  # base+sum in f32
+    if compute_dtype is not None:
+        # only the final value is rounded (<= 1/512 on [0,1] => <=1 u8 code);
+        # keeps the big HR-sized shuffle in bf16.
+        total = total.astype(compute_dtype)
+    return depth_to_space(total, factor)
 
 
 def bilinear_apply(x: jnp.ndarray, factor: int = 3) -> jnp.ndarray:

@@ -1,6 +1,6 @@
 """Training-step throughput on the chip (reference protocol: batch 4,
-192^2 HR crops).  In-jit chained steps carry (params, opt_state) so every
-step really executes on device."""
+192^2 HR crops).  Host-stepped with varied batches — the end-to-end rate
+the training loop actually achieves (async dispatch pipelines steps)."""
 
 import os
 import time
@@ -10,46 +10,36 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
-import optax
 
 from rusty_sr_tpu import params as P
-from rusty_sr_tpu.train.loop import TrainConfig, loss_fn, make_optimizer
+from rusty_sr_tpu.train.loop import TrainConfig, make_train_step
 
-ITERS = 10
+ITERS = 30
 
 
 def main():
     cfg = TrainConfig()
     params = jax.tree.map(jnp.asarray, P.init_params(0, cfg.factor))
-    opt = make_optimizer(cfg)
-    opt_state = opt.init(params)
-    hr = jnp.asarray(np.random.default_rng(0).random(
-        (cfg.batch_size, cfg.crop, cfg.crop, 3), dtype=np.float32))
-
-    @jax.jit
-    def run(params, opt_state, hr):
-        def body(i, carry):
-            p, s = carry
-            (loss, mse), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(p, hr, cfg)
-            upd, s = opt.update(grads, s, p)
-            return (optax.apply_updates(p, upd), s)
-        return lax.fori_loop(0, ITERS, body, (params, opt_state))
+    step_fn, opt = make_train_step(cfg)
+    st = opt.init(params)
+    hr0 = np.random.default_rng(0).random(
+        (cfg.batch_size, cfg.crop, cfg.crop, 3), dtype=np.float32)
 
     t0 = time.perf_counter()
-    out = run(params, opt_state, hr)
-    jax.block_until_ready(out)
+    params, st, loss, mse = step_fn(params, st, jnp.asarray(hr0))
+    jax.block_until_ready(params)
     print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
-    best = 1e30
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(params, opt_state, hr))
-        best = min(best, (time.perf_counter() - t0) / ITERS)
-    sps = 1.0 / best
-    print(f"train step: {best*1e3:.2f} ms  ({sps:.1f} steps/s, "
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        hr = jnp.asarray(hr0 * (1 + 1e-5 * i))  # varied: avoid result cache
+        params, st, loss, mse = step_fn(params, st, hr)
+    jax.block_until_ready(params)
+    dt = (time.perf_counter() - t0) / ITERS
+    sps = 1.0 / dt
+    print(f"train step: {dt*1e3:.2f} ms  ({sps:.1f} steps/s, "
           f"{sps*cfg.batch_size:.1f} samples/s; reference budget 10M samples "
-          f"=> {10e6/(sps*cfg.batch_size)/3600:.1f} h)", flush=True)
+          f"=> {10e6/(sps*cfg.batch_size)/3600:.2f} h)", flush=True)
 
 
 if __name__ == "__main__":
