@@ -1,0 +1,62 @@
+"""CLI surface tests (parsing + dispatch; execution covered by the verify
+recipe and golden tests)."""
+
+import numpy as np
+import pytest
+
+from rusty_sr_tpu import cli
+
+
+def test_upscale_parser_defaults():
+    p = cli.build_parser()
+    a = p.parse_args(["in.png", "out.png"])
+    assert a.INPUT_FILE == "in.png" and a.OUTPUT_FILE == "out.png"
+    assert a.parameters is None and not a.downsample and a.factor == 3
+    assert a.engine == "xla" and not a.fast
+
+
+def test_upscale_parser_flags():
+    p = cli.build_parser()
+    a = p.parse_args(["-p", "anime", "--fast", "--engine", "fused",
+                      "-f", "2", "x.png", "y.png"])
+    assert a.parameters == "anime" and a.fast and a.engine == "fused"
+    assert a.factor == 2
+
+
+def test_parser_rejects_unknown_weights():
+    p = cli.build_parser()
+    with pytest.raises(SystemExit):
+        p.parse_args(["-p", "vgg19", "x.png", "y.png"])
+
+
+def test_train_parser():
+    t = cli.build_train_parser()
+    a = t.parse_args(["out.rsr", "imgs", "-l", "-r", "-s", "w.rsr",
+                      "-v", "val", "-m", "8", "--loss", "l1"])
+    assert a.PARAMETER_FILE == "out.rsr" and a.TRAINING_FOLDER == "imgs"
+    assert a.linear_loss and a.recurse and a.start == "w.rsr"
+    assert a.val_folder == "val" and a.val_max == 8 and a.loss == "l1"
+
+
+def test_main_dispatch_conflicting_flags(capsys):
+    rc = cli.main(["-d", "-p", "anime", "a.png", "b.png"])
+    assert rc == 2
+    assert "conflicts" in capsys.readouterr().err
+
+
+def test_main_missing_input(capsys):
+    rc = cli.main(["--platform", "cpu", "/definitely/missing.png", "o.png"])
+    assert rc == 1
+    assert "Error opening input image file" in capsys.readouterr().err
+
+
+def test_end_to_end_bilinear(tmp_path):
+    """Cheapest full CLI path: bilinear mode on a tiny image."""
+    from rusty_sr_tpu.utils.imageio import save_image, load_image
+    src = tmp_path / "in.png"
+    dst = tmp_path / "out.png"
+    save_image(str(src), np.random.default_rng(0).random((6, 5, 3)).astype(np.float32))
+    rc = cli.main(["--platform", "cpu", "-p", "bilinear",
+                   str(src), str(dst)])
+    assert rc == 0
+    assert load_image(str(dst)).shape == (18, 15, 3)
