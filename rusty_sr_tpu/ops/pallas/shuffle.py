@@ -17,37 +17,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _d2s_kernel(x_ref, o_ref, *, f: int, c: int):
-    x = x_ref[...]                       # (R, W, f*f*C)
-    r, w, _ = x.shape
-    x = x.reshape(r, w, f, f, c)         # (R, W, fy, fx, C)
-    x = jnp.transpose(x, (0, 2, 1, 3, 4))  # (R, fy, W, fx, C)
-    o_ref[...] = x.reshape(r * f, w * f, c)
+def _copy_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...]
 
 
 @functools.partial(jax.jit, static_argnames=("factor", "rows", "interpret"))
-def depth_to_space_pallas(x: jnp.ndarray, factor: int = 3, *, rows: int = 8,
+def depth_to_space_pallas(x: jnp.ndarray, factor: int = 3, *, rows: int = 0,
                           interpret: bool = False) -> jnp.ndarray:
     """(N,H,W,f*f*C) -> (N,f*H,f*W,C) with the reference's channel order
-    (SURVEY.md §8.6), as a single Pallas pass."""
+    (SURVEY.md §8.6).
+
+    Mosaic cannot reshape/split lane dims in-kernel ('unsupported shape
+    cast'), so the permutation is expressed entirely in BlockSpec index
+    maps: the grid iterates (batch, row-block, fy, fx); each program
+    block-copies the (rows, W, C) lane-slice `channels [(fy*f+fx)*C, +C)`
+    to the 5-D output position (row-block, fy, ·, fx, ·).  The final
+    (N,H,f,W,f,C)->(N,fH,fW,C) reshape is a free row-major collapse.
+    """
     n, h, w, cff = x.shape
     f = factor
     c = cff // (f * f)
     interpret = interpret or jax.default_backend() == "cpu"
+    rows = rows or h
     rows = min(rows, h)
     while h % rows:
         rows -= 1
 
-    kernel = functools.partial(_d2s_kernel, f=f, c=c)
-    return pl.pallas_call(
-        kernel,
-        grid=(n, h // rows),
-        in_specs=[pl.BlockSpec((None, rows, w, cff),
-                               lambda ib, ir: (ib, ir, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((None, rows * f, w * f, c),
-                               lambda ib, ir: (ib, ir, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h * f, w * f, c), x.dtype),
+    out5 = pl.pallas_call(
+        _copy_kernel,
+        grid=(n, h // rows, f, f),
+        in_specs=[pl.BlockSpec(
+            (None, rows, w, c),
+            lambda ib, ir, fy, fx: (ib, ir, 0, fy * f + fx),
+            memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (None, rows, None, w, None, c),
+            lambda ib, ir, fy, fx: (ib, ir, fy, 0, fx, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, f, w, f, c), x.dtype),
         interpret=interpret,
     )(x)
+    return out5.reshape(n, h * f, w * f, c)
