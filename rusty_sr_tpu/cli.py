@@ -23,6 +23,7 @@ def build_parser() -> argparse.ArgumentParser:
         description="A convolutional neural network trained to upscale images "
                     "(TPU-native). Run the `train` subcommand to learn new weights.",
     )
+    p.add_argument("--version", action="version", version="rusty_sr_tpu v0.1.0")
     p.add_argument("INPUT_FILE", help="input image to upscale")
     p.add_argument("OUTPUT_FILE", help="output file to write/overwrite (.png recommended)")
     p.add_argument("-p", "--parameters",
@@ -135,6 +136,10 @@ def run_upscale(args) -> int:
 
 
 def run_train(args) -> int:
+    if args.val_max is not None and not args.val_folder:
+        # clap: .requires("VALIDATION_FOLDER") (reference src/main.rs:109)
+        print("error: --val_max requires --val_folder", file=sys.stderr)
+        return 2
     from rusty_sr_tpu import params as params_lib
     from rusty_sr_tpu.train.data import ImageFolderSupplier, PrefetchBuffer
     from rusty_sr_tpu.train.loop import TrainConfig, train_loop
