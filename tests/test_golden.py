@@ -63,6 +63,16 @@ def test_bilinear_mode_logo(logo_lr):
     assert db >= 50.0, f"{db:.2f} dB"
 
 
+def test_imagenetlinear_weights_distinct():
+    """No golden exists for imagenetlinear (the reference publishes no
+    sample from it); pin that it loads, runs, and differs from imagenet."""
+    lr = load_image(f"{DOCS}/cartoon_lr.png")
+    a = _run_sr("imagenetlinear", lr)
+    b = _run_sr("imagenet", lr)
+    assert np.isfinite(a).all()
+    assert np.abs(a - b).max() > 1e-3
+
+
 def test_nn_images_are_replications():
     """Sanity: the `_nn` fixtures really are nearest-neighbour x3 copies."""
     lr = load_image(f"{DOCS}/cartoon_lr.png")
