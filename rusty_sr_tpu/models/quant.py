@@ -21,7 +21,6 @@ tests/test_quant.py and CLAUDE.md.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

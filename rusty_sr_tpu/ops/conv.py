@@ -21,7 +21,6 @@ inputs, rather than silently losing precision on f32 data.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -84,7 +84,7 @@ def pack_trunk_weights(params, factor: int = 3, dtype=jnp.bfloat16):
 
 
 def _conv_stage(src, rows_out, cols_out, kh, w_flat, precision, pat_ref,
-                rank3: bool = True):
+                rank3):
     """im2col into VMEM scratch + K-chunked MXU matmuls.
 
     src: (rows_out+kh-1, cols_out+kh-1, Cin), halo included in both dims.
@@ -127,7 +127,7 @@ def _trunk_kernel(x_ref, m_ref,
                   fb_ref, fp_ref, b1_ref, p1_ref, b2_ref, p2_ref,
                   b3_ref, p3_ref, eb_ref,
                   out_ref, pat_ref, *, rh: int, cw: int, e: int,
-                  compute_dtype, use_mask: bool):
+                  compute_dtype, use_mask: bool, rank3: bool):
     cd = compute_dtype
     precision = (lax.Precision.HIGHEST if cd == jnp.float32 else None)
 
@@ -143,27 +143,28 @@ def _trunk_kernel(x_ref, m_ref,
     x = x_ref[...].astype(cd)                       # (rh+14, cw+14, 3)
 
     f = _conv_stage(x, rh + 10, cw + 10, 5, w0_ref[...].astype(cd),
-                    precision, pat_ref)
+                    precision, pat_ref, rank3)
     f = masked(_belu(f + fb_ref[0], fp_ref[0]), 2, rh + 10, cw + 10)
 
     a = _conv_stage(f, rh + 6, cw + 6, 5, wA_ref[...].astype(cd),
-                    precision, pat_ref)
+                    precision, pat_ref, rank3)
     l1 = masked(_belu(a[..., :32] + b1_ref[0], p1_ref[0]), 4, rh + 6, cw + 6)
     a = a.astype(cd)
 
     b = _conv_stage(l1, rh + 4, cw + 4, 3, wB_ref[...].astype(cd),
-                    precision, pat_ref)
+                    precision, pat_ref, rank3)
     l2 = masked(_belu(a[1:rh + 5, 1:cw + 5, 32:64] + b[..., :32]
                       + b2_ref[0], p2_ref[0]), 5, rh + 4, cw + 4)
     b = b.astype(cd)
 
     c = _conv_stage(l2, rh + 2, cw + 2, 3, wC_ref[...].astype(cd),
-                    precision, pat_ref)
+                    precision, pat_ref, rank3)
     l3 = masked(_belu(a[2:rh + 4, 2:cw + 4, 64:96] + b[1:rh + 3, 1:cw + 3, 32:64]
                       + c[..., :32] + b3_ref[0], p3_ref[0]), 6, rh + 2, cw + 2)
     c = c.astype(cd)
 
-    d = _conv_stage(l3, rh, cw, 3, wD_ref[...].astype(cd), precision, pat_ref)
+    d = _conv_stage(l3, rh, cw, 3, wD_ref[...].astype(cd), precision,
+                    pat_ref, rank3)
     expand = (b[2:rh + 2, 2:cw + 2, 64:64 + e].astype(jnp.float32)
               + c[1:rh + 1, 1:cw + 1, 32:32 + e].astype(jnp.float32)
               + d[..., :e] + eb_ref[0])
@@ -182,10 +183,11 @@ def _pick_cw(s: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("factor", "rh", "cw", "compute_dtype",
-                                    "interpret", "vmem_mb"))
+                                    "interpret", "vmem_mb", "rank3"))
 def fused_trunk(packed, x, mask=None, factor: int = 3, *, rh: int = 8,
                 cw: int = 0, compute_dtype=jnp.bfloat16,
-                interpret: bool = False, vmem_mb: int = 0):
+                interpret: bool = False, vmem_mb: int = 0,
+                rank3: bool = True):
     """Compute the `expand` tensor for zero-padded tiles, fused in VMEM.
 
     x: (B, S+2h, S+2h, 3) zero-padded tiles (h = HALO); mask likewise
@@ -223,7 +225,8 @@ def fused_trunk(packed, x, mask=None, factor: int = 3, *, rh: int = 8,
     vec_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(9)]
 
     kernel = functools.partial(_trunk_kernel, rh=rh, cw=cw, e=e,
-                               compute_dtype=compute_dtype, use_mask=use_mask)
+                               compute_dtype=compute_dtype, use_mask=use_mask,
+                               rank3=rank3)
 
     out = pl.pallas_call(
         kernel,

@@ -20,7 +20,6 @@ from typing import Optional, Sequence
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rusty_sr_tpu.models.sr_net import sr_apply

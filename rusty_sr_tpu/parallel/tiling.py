@@ -28,14 +28,15 @@ Exactness argument (SURVEY.md §7 "edge semantics"):
 
 The host-side tile gather/scatter hot path runs in native C++
 (native/tileio.cc via utils.native, numpy fallback included); the device
-side offers two engines: "xla" (merged-conv jit graph) and "fused" (the
-single Pallas trunk kernel from ops.pallas.trunk, ~4x faster on v5e).
+side offers two engines: "xla" (merged-conv jit graph — the fast default)
+and "fused" (the single Pallas trunk kernel from ops.pallas.trunk; correct
+on hardware but currently patch-store-bound, kept for further kernel work).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 import jax
