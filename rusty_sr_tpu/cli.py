@@ -71,6 +71,9 @@ def build_train_parser() -> argparse.ArgumentParser:
                    help="optional hard step cap (for smoke runs)")
     t.add_argument("--metrics", metavar="FILE", default=None,
                    help="append JSONL training metrics to FILE")
+    t.add_argument("--ckpt_dir", metavar="DIR", default=None,
+                   help="also write orbax native checkpoints (params + "
+                        "optimizer state, resumable) to DIR")
     t.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                    help="force a JAX platform (default: environment's)")
     return t
@@ -176,7 +179,8 @@ def run_train(args) -> int:
     try:
         train_loop(cfg, batches(), start_params=start,
                    param_file=args.PARAMETER_FILE, val_images=val_images,
-                   max_steps=args.max_steps, metrics_file=args.metrics)
+                   max_steps=args.max_steps, metrics_file=args.metrics,
+                   native_ckpt_dir=args.ckpt_dir)
     finally:
         buf.close()
     print("Done")

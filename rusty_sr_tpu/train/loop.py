@@ -148,6 +148,7 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
                mesh: Optional[Mesh] = None,
                max_steps: Optional[int] = None,
                metrics_file: Optional[str] = None,
+               native_ckpt_dir: Optional[str] = None,
                seed: int = 0):
     """Run the reference's training protocol; returns final params.
 
@@ -183,6 +184,9 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
                 if param_file is not None:
                     host = jax.tree.map(np.asarray, params)
                     params_lib.save_rsr_file(param_file, host, cfg.factor)
+                if native_ckpt_dir is not None:
+                    from rusty_sr_tpu.train import checkpoint as _ck
+                    _ck.save_native(native_ckpt_dir, step, params, opt_state)
                 psnr = None
                 if val_images:
                     psnr = validation_psnr(params, val_images, cfg)

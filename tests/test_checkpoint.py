@@ -47,6 +47,23 @@ def test_sharded_tiled_inference_matches():
     np.testing.assert_allclose(got, want, atol=2e-6)
 
 
+def test_train_loop_writes_native_checkpoints(tmp_path):
+    from rusty_sr_tpu.train.loop import train_loop
+    cfg = TrainConfig(crop=24, checkpoint_every=2)
+
+    def batches(n):
+        for _ in range(n):
+            yield RNG.random((cfg.batch_size, cfg.crop, cfg.crop, 3)
+                             ).astype(np.float32)
+
+    train_loop(cfg, batches(2), native_ckpt_dir=str(tmp_path / "ck"),
+               max_steps=2, log=lambda s: None)
+    path = ck.latest_native(str(tmp_path / "ck"))
+    assert path is not None
+    params, opt_state, step = ck.restore_native(path)
+    assert step == 2 and opt_state is not None
+
+
 def test_device_timer_runs():
     from rusty_sr_tpu.utils.profiling import device_timer
     x = jnp.ones((128, 128), jnp.float32)
