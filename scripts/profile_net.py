@@ -19,7 +19,7 @@ from jax import lax
 from rusty_sr_tpu import load_builtin
 from rusty_sr_tpu.models.sr_net import merge_params, sr_apply_fused
 
-BATCH, S, FACTOR, ITERS = 8, 256, 3, 20
+BATCH, S, FACTOR, ITERS = 16, 256, 3, 20
 
 
 def main():
