@@ -84,7 +84,8 @@ def run_upscale(args) -> int:
     from rusty_sr_tpu import params as params_lib
     from rusty_sr_tpu.models.sr_net import bilinear_apply, downsample_apply
     from rusty_sr_tpu.parallel.tiling import tiled_sr
-    from rusty_sr_tpu.utils.imageio import load_image, save_image
+    from rusty_sr_tpu.utils.imageio import (
+        load_image, save_image, load_image_u8, save_image_u8)
 
     if args.custom and args.parameters:
         print("error: --custom conflicts with --parameters", file=sys.stderr)
@@ -129,6 +130,16 @@ def run_upscale(args) -> int:
             print(f"Upscaling using {label} neural net parameters...", end="", flush=True)
             tree = params_lib.load_builtin(name, args.factor)
         tree = {k: jnp.asarray(v) for k, v in tree.items()}
+        if args.engine == "xla":
+            # u8 tiles end-to-end: 4x less host<->device transfer
+            img_u8 = load_image_u8(args.INPUT_FILE)
+            out = tiled_sr(tree, img_u8, args.factor, tile=args.tile,
+                           chunk=args.chunk, compute_dtype=compute_dtype,
+                           engine=args.engine)
+            print(" Writing file...", end="", flush=True)
+            save_image_u8(args.OUTPUT_FILE, out)
+            print(" Done")
+            return 0
         out = tiled_sr(tree, img, args.factor, tile=args.tile, chunk=args.chunk,
                        compute_dtype=compute_dtype, engine=args.engine)
 

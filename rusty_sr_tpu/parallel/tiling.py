@@ -49,16 +49,28 @@ from rusty_sr_tpu.utils import native
 HALO = 7
 
 
-@functools.partial(jax.jit, static_argnames=("factor", "tile", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("factor", "tile", "compute_dtype",
+                                             "u8_io"))
 def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
-                 tile: int, compute_dtype=None):
-    """(B, T+2h, T+2h, ·) -> (B, f*T, f*T, 3) exact SR of tile centres."""
+                 tile: int, compute_dtype=None, u8_io: bool = False):
+    """(B, T+2h, T+2h, ·) -> (B, f*T, f*T, 3) exact SR of tile centres.
+
+    With ``u8_io`` the tiles arrive as uint8 (converted to f32/255 on
+    device — exact for image sources) and the result is quantised to uint8
+    on device with the reference's clamp->x255->round-half-up rule
+    (src/main.rs:175) — 4x less transfer each way, which dominates
+    end-to-end time on this tunneled host.
+    """
     from rusty_sr_tpu.ops.activations import belu
     from rusty_sr_tpu.ops.conv import conv2d_same
     from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
     from rusty_sr_tpu.ops.resize import bilinear_phases
 
     h = HALO
+    if u8_io:
+        zero_tiles = zero_tiles.astype(jnp.float32) * (1.0 / 255.0)
+        edge_tiles = edge_tiles.astype(jnp.float32) * (1.0 / 255.0)
+        mask_tiles = mask_tiles.astype(jnp.float32)
     x = zero_tiles
     mask = mask_tiles
     if compute_dtype is not None:
@@ -84,6 +96,9 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
     base_ph = bilinear_phases(edge_tiles, factor)
     total = base_ph[:, h:h + tile, h:h + tile, :] + \
         expand[:, h:h + tile, h:h + tile, :].astype(jnp.float32)
+    if u8_io:
+        total = jnp.floor(jnp.clip(total, 0.0, 1.0) * 255.0 + 0.5)
+        return depth_to_space(total, factor).astype(jnp.uint8)
     return depth_to_space(total, factor)
 
 
@@ -115,15 +130,38 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 114,
     (Pallas trunk; pass ``packed`` from pack_trunk_weights to avoid
     repacking, and ``rh`` as the kernel row-block).
     """
-    img = np.asarray(image, dtype=np.float32)
+    u8_io = (np.asarray(image).dtype == np.uint8)
+    img = np.asarray(image) if u8_io else np.asarray(image, dtype=np.float32)
     hgt, wid, _ = img.shape
     h = HALO
     ny = max(1, -(-hgt // tile))
     nx = max(1, -(-wid // tile))
 
-    zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
+    if u8_io:
+        # uint8 end-to-end: 4x less host<->device transfer; conversion to
+        # f32/255 and the final quantisation happen on device.
+        pad = ((h, h + ny * tile - hgt), (h, h + nx * tile - wid), (0, 0))
+        zero_img = np.pad(img, pad)
+        edge_img = np.pad(img, pad, mode="edge")
+        mask_img = np.pad(np.ones((hgt, wid, 1), np.uint8), pad)
+        side_ = tile + 2 * h
+        n_ = ny * nx
+        zt = np.empty((n_, side_, side_, 3), np.uint8)
+        et = np.empty((n_, side_, side_, 3), np.uint8)
+        mt = np.empty((n_, side_, side_, 1), np.uint8)
+        k = 0
+        for iy in range(ny):
+            for ix in range(nx):
+                y0, x0 = iy * tile, ix * tile
+                zt[k] = zero_img[y0:y0 + side_, x0:x0 + side_]
+                et[k] = edge_img[y0:y0 + side_, x0:x0 + side_]
+                mt[k] = mask_img[y0:y0 + side_, x0:x0 + side_]
+                k += 1
+    else:
+        zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
 
     if engine == "fused":
+        assert not u8_io, "u8 I/O is implemented for the xla engine"
         if packed is None:
             from rusty_sr_tpu.ops.pallas.trunk import pack_trunk_weights
             dt = compute_dtype or jnp.bfloat16
@@ -136,14 +174,16 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 114,
             packed, z, e, m, factor, tile, rh, compute_dtype or jnp.bfloat16)
     else:
         run = lambda z, e, m: _tile_kernel(  # noqa: E731
-            params, z, e, m, factor, tile, compute_dtype)
+            params, z, e, m, factor, tile, compute_dtype, u8_io)
 
     side = tile + 2 * h
     n_tiles = ny * nx
-    out = np.zeros((hgt * factor, wid * factor, 3), np.float32)
+    out_dtype = np.uint8 if u8_io else np.float32
+    out = np.zeros((hgt * factor, wid * factor, 3), out_dtype)
     # Dispatch all chunks first (jax dispatch is async), then fetch+scatter:
     # overlaps device compute/transfer across chunks instead of paying a
     # full round-trip per chunk.
+    tdt = zt.dtype
     pending = []
     for start in range(0, n_tiles, chunk):
         stop = min(start + chunk, n_tiles)
@@ -151,11 +191,22 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 114,
         zb, eb, mb = zt[start:stop], et[start:stop], mt[start:stop]
         if cnt < chunk:  # pad last chunk: one executable total
             fill = chunk - cnt
-            zb = np.concatenate([zb, np.zeros((fill, side, side, 3), np.float32)])
-            eb = np.concatenate([eb, np.zeros((fill, side, side, 3), np.float32)])
-            mb = np.concatenate([mb, np.zeros((fill, side, side, 1), np.float32)])
+            zb = np.concatenate([zb, np.zeros((fill, side, side, 3), tdt)])
+            eb = np.concatenate([eb, np.zeros((fill, side, side, 3), tdt)])
+            mb = np.concatenate([mb, np.zeros((fill, side, side, 1), mt.dtype)])
         pending.append(
             (start, cnt, run(device_put(zb), device_put(eb), device_put(mb))))
+    tf = tile * factor
     for start, cnt, res in pending:
-        native.scatter_tiles(np.asarray(res[:cnt]), start, nx, out)
+        if u8_io:
+            res = np.asarray(res[:cnt])
+            for j in range(cnt):
+                iy, ix = divmod(start + j, nx)
+                rows = min(out.shape[0] - iy * tf, tf)
+                cols = min(out.shape[1] - ix * tf, tf)
+                if rows > 0 and cols > 0:
+                    out[iy * tf:iy * tf + rows, ix * tf:ix * tf + cols] = \
+                        res[j, :rows, :cols]
+        else:
+            native.scatter_tiles(np.asarray(res[:cnt]), start, nx, out)
     return out

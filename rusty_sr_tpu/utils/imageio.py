@@ -19,6 +19,16 @@ def load_image(path: str) -> np.ndarray:
     return np.asarray(img, dtype=np.float32) / 255.0
 
 
+def load_image_u8(path: str) -> np.ndarray:
+    """PNG/JPEG -> (H,W,3) u8 (alpha dropped) — for u8-I/O device paths."""
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def save_image_u8(path: str, u8: np.ndarray) -> None:
+    """(H,W,3) u8 -> RGBA PNG (matches `save_image` after to_u8)."""
+    Image.fromarray(np.asarray(u8, np.uint8), mode="RGB").convert("RGBA").save(path)
+
+
 def save_image(path: str, data: np.ndarray) -> None:
     """(H,W,3) f32 -> clamp [0,1] -> round -> u8 RGBA PNG (src/main.rs:175)."""
     data = np.clip(np.asarray(data, dtype=np.float32), 0.0, 1.0)
