@@ -163,8 +163,13 @@ def run_train(args) -> int:
     cfg = TrainConfig(factor=args.factor, linear_loss=args.linear_loss,
                       loss_kind=args.loss)
 
-    supplier = ImageFolderSupplier(args.TRAINING_FOLDER, recurse=args.recurse,
-                                   crop=(cfg.crop, cfg.crop), shuffle=True)
+    try:
+        supplier = ImageFolderSupplier(args.TRAINING_FOLDER,
+                                       recurse=args.recurse,
+                                       crop=(cfg.crop, cfg.crop), shuffle=True)
+    except (ValueError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     buf = PrefetchBuffer(supplier, depth=128, batch_size=cfg.batch_size)
 
     start = None
