@@ -37,9 +37,20 @@ _CONV_GAINS = {
 
 BUILTIN_WEIGHTS = ("imagenet", "imagenetlinear", "anime")
 
-# Path of the reference weight blobs; embedded-by-value in the reference
-# binary (src/main.rs:26-28), loaded lazily from disk here.
-_BUILTIN_DIR = "/root/reference/src/res"
+
+def _builtin_dir() -> str:
+    """Directory holding the three builtin `.rsr` blobs.
+
+    The reference embeds them in its binary (src/main.rs:26-28
+    `include_bytes!`); here they ship as package data in
+    ``rusty_sr_tpu/weights/`` so the framework is self-contained.
+    ``RUSTY_SR_TPU_WEIGHTS_DIR`` overrides (e.g. for alternative sets).
+    """
+    import os
+    env = os.environ.get("RUSTY_SR_TPU_WEIGHTS_DIR")
+    if env:
+        return env
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "weights")
 
 
 def param_specs(factor: int, width: int = 32, channels: int = 3) -> List[Tuple[str, Tuple[int, ...]]]:
@@ -159,10 +170,11 @@ def init_params(rng: np.random.Generator | int, factor: int, width: int = 32, ch
 
 
 def load_builtin(name: str, factor: int = 3) -> Pytree:
-    """Load one of the three embedded weight sets by name."""
+    """Load one of the three vendored weight sets by name."""
     if name not in BUILTIN_WEIGHTS:
         raise ValueError(f"unknown builtin weights {name!r}; choose from {BUILTIN_WEIGHTS}")
-    with open(f"{_BUILTIN_DIR}/{name}.rsr", "rb") as f:
+    import os
+    with open(os.path.join(_builtin_dir(), f"{name}.rsr"), "rb") as f:
         return flat_to_pytree(decode_rsr(f.read()), factor)
 
 

@@ -54,6 +54,22 @@ def test_flat_pytree_roundtrip():
     assert np.array_equal(back, flat)
 
 
+def test_vendored_weights_are_self_contained(monkeypatch):
+    """Builtin weights resolve from package data (no reference mount),
+    byte-identical to the reference blobs (src/main.rs:26-28), and the
+    RUSTY_SR_TPU_WEIGHTS_DIR override wins when set."""
+    import os
+    d = P._builtin_dir()
+    assert d.startswith(os.path.dirname(os.path.abspath(P.__file__)))
+    for name in P.BUILTIN_WEIGHTS:
+        with open(os.path.join(d, f"{name}.rsr"), "rb") as fh:
+            vendored = fh.read()
+        with open(f"/root/reference/src/res/{name}.rsr", "rb") as fh:
+            assert vendored == fh.read()
+    monkeypatch.setenv("RUSTY_SR_TPU_WEIGHTS_DIR", "/tmp/override_weights")
+    assert P._builtin_dir() == "/tmp/override_weights"
+
+
 def test_belu_init_visible_in_trained_weights():
     """`init_porque_no_los_dos` alternates p=1,0 by channel; trained values
     retain that parity structure (SURVEY.md §8.3)."""
