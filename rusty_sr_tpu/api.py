@@ -39,12 +39,30 @@ def upscale(image: np.ndarray, weights: Union[str, dict] = "imagenet",
     ``weights``: builtin name ('imagenet', 'imagenetlinear', 'anime'), a
     path to a `.rsr` file, or a param pytree.  ``fast`` switches the conv
     trunk to bf16 (≤2 u8-code deviation); ``engine`` 'xla' or 'fused'.
+
+    A uint8 image is accepted directly (and rides the u8 device-I/O fast
+    path; the result is then uint8 too).  Float inputs must already be
+    sRGB values in [0, 1] — out-of-range floats raise rather than silently
+    producing garbage.
     """
     import jax.numpy as jnp
     from rusty_sr_tpu.parallel.tiling import tiled_sr
 
     tree = _resolve_params(weights, factor)
-    return tiled_sr(tree, np.asarray(image, np.float32), factor, tile=tile,
+    image = np.asarray(image)
+    if image.dtype == np.uint8 and engine == "xla":
+        pass  # u8 end-to-end device path
+    else:
+        if image.dtype == np.uint8:
+            image = image.astype(np.float32) / 255.0
+        else:
+            image = np.asarray(image, np.float32)
+            if image.size and (image.min() < -0.001 or image.max() > 1.001):
+                raise ValueError(
+                    "float input must be sRGB in [0, 1] (got range "
+                    f"[{image.min():.3g}, {image.max():.3g}]); pass uint8 "
+                    "pixels directly or divide by 255")
+    return tiled_sr(tree, image, factor, tile=tile,
                     chunk=chunk, engine=engine,
                     compute_dtype=jnp.bfloat16 if fast else None)
 

@@ -85,7 +85,7 @@ def run_upscale(args) -> int:
     from rusty_sr_tpu.models.sr_net import bilinear_apply, downsample_apply
     from rusty_sr_tpu.parallel.tiling import tiled_sr
     from rusty_sr_tpu.utils.imageio import (
-        load_image, save_image, load_image_u8, save_image_u8)
+        save_image, load_image_u8, save_image_u8)
 
     if args.custom and args.parameters:
         print("error: --custom conflicts with --parameters", file=sys.stderr)
@@ -96,7 +96,9 @@ def run_upscale(args) -> int:
         return 2
 
     try:
-        img = load_image(args.INPUT_FILE)
+        # Decode once as u8 (the device paths take u8 directly; the f32
+        # view is derived only where a path needs it).
+        img_u8 = load_image_u8(args.INPUT_FILE)
     except (OSError, FileNotFoundError) as e:
         print(f"Error opening input image file: {e}", file=sys.stderr)
         return 1
@@ -106,33 +108,37 @@ def run_upscale(args) -> int:
         print("Downsampling using average pooling of linear RGB values...",
               end="", flush=True)
         f = args.factor
-        h, w, _ = img.shape
-        img = img[: h - h % f, : w - w % f]
+        h, w, _ = img_u8.shape
+        img = img_u8[: h - h % f, : w - w % f].astype(np.float32) / 255.0
         out = np.asarray(downsample_apply(jnp.asarray(img)[None], f)[0])
     elif args.parameters == "bilinear":
         print("Upscaling using bilinear interpolation...", end="", flush=True)
+        img = img_u8.astype(np.float32) / 255.0
         out = np.asarray(bilinear_apply(jnp.asarray(img)[None], args.factor)[0])
     else:
         if args.custom:
             print("Upscaling using custom neural net parameters...", end="", flush=True)
-            try:
-                tree = params_lib.load_rsr_file(args.custom, args.factor)
-            except ValueError as e:
-                # reference: assert at src/main.rs:162
-                print(f"\nerror: {e}. Parameters selected do not have the size "
-                      "required by the neural net. Ensure that the same factor "
-                      "is used for upscaling and training.", file=sys.stderr)
-                return 1
+            src = args.custom
+            loader = lambda: params_lib.load_rsr_file(args.custom, args.factor)  # noqa: E731
         else:
             name = args.parameters or "imagenet"
             label = {"imagenet": "imagenet", "imagenetlinear": "linear loss imagenet",
                      "anime": "anime"}[name]
             print(f"Upscaling using {label} neural net parameters...", end="", flush=True)
-            tree = params_lib.load_builtin(name, args.factor)
+            src = f"builtin '{name}'"
+            loader = lambda: params_lib.load_builtin(name, args.factor)  # noqa: E731
+        try:
+            tree = loader()
+        except ValueError as e:
+            # reference: assert at src/main.rs:162 — also hit for builtin
+            # weights with a non-default -f (the builtins are factor-3).
+            print(f"\nerror: {e} ({src}). Parameters selected do not have the "
+                  "size required by the neural net. Ensure that the same factor "
+                  "is used for upscaling and training.", file=sys.stderr)
+            return 1
         tree = {k: jnp.asarray(v) for k, v in tree.items()}
         if args.engine == "xla":
             # u8 tiles end-to-end: 4x less host<->device transfer
-            img_u8 = load_image_u8(args.INPUT_FILE)
             out = tiled_sr(tree, img_u8, args.factor, tile=args.tile,
                            chunk=args.chunk, compute_dtype=compute_dtype,
                            engine=args.engine)
@@ -140,6 +146,7 @@ def run_upscale(args) -> int:
             save_image_u8(args.OUTPUT_FILE, out)
             print(" Done")
             return 0
+        img = img_u8.astype(np.float32) / 255.0
         out = tiled_sr(tree, img, args.factor, tile=args.tile, chunk=args.chunk,
                        compute_dtype=compute_dtype, engine=args.engine)
 

@@ -71,12 +71,20 @@ class ImageFolderSupplier:
             order = np.arange(len(self.files))
             if self.shuffle:
                 self.rng.shuffle(order)
+            yielded = 0
             for i in order:
                 try:
                     img = load_image(self.files[i])
                 except OSError:
                     continue  # unreadable file: skip, like a decode error
+                yielded += 1
                 yield self._crop(img) if self.crop is not None else img
+            if yielded == 0:
+                # Every file failed to decode: raising beats spinning on
+                # the same broken folder forever.
+                raise RuntimeError(
+                    f"none of the {len(self.files)} image files in the "
+                    "folder could be decoded")
             if not self.shuffle:
                 return  # sequential supplier is single-epoch (validation)
 
@@ -108,31 +116,57 @@ class PrefetchBuffer:
         self.supplier = supplier
         self.batch_size = batch_size
         self.q: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=max(1, depth // max(1, batch_size)))
+        self._error: Optional[BaseException] = None
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        """Blocking put that honours close(); False if stopped first."""
+        while not self._stop.is_set():
+            try:
+                self.q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _worker(self):
-        it = iter(self.supplier)
         batch = []
-        for img in it:
-            if self._stop.is_set():
-                return
-            batch.append(img)
-            if len(batch) == self.batch_size:
-                arr = np.stack(batch)
-                batch = []
-                while not self._stop.is_set():
-                    try:
-                        self.q.put(arr, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
-        self.q.put(None)  # end-of-stream (sequential suppliers only)
+        try:
+            for img in iter(self.supplier):
+                if self._stop.is_set():
+                    return
+                batch.append(img)
+                if len(batch) == self.batch_size:
+                    arr = np.stack(batch)
+                    batch = []
+                    if not self._put(arr):
+                        return
+        except RuntimeError as e:  # e.g. all files unreadable
+            self._error = e
+        # end-of-stream sentinel (sequential suppliers / supplier error);
+        # same stop-aware put so shutdown can never wedge on a full queue.
+        self._put(None)
 
     def next_batch(self) -> Optional[np.ndarray]:
-        item = self.q.get()
-        return item
+        """Next batch, or None at end-of-stream / after close().
+
+        Re-raises a supplier error (e.g. an unreadable training folder) on
+        the consumer thread instead of dying silently in the worker.
+        """
+        while not self._stop.is_set():
+            try:
+                item = self.q.get(timeout=0.5)
+            except queue.Empty:
+                if not self._thread.is_alive():
+                    item = None  # worker died without a sentinel
+                else:
+                    continue
+            if item is None and self._error is not None:
+                raise self._error
+            return item
+        return None
 
     def close(self):
         self._stop.set()

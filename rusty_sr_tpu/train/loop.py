@@ -74,6 +74,12 @@ def loss_fn(params, hr, cfg: TrainConfig):
         data_loss = jnp.mean((a - b) ** 2)
     reg = 0.0
     if cfg.l2_reg:
+        # Convention assumption: alumina's L2Regularisation source is not
+        # available, so whether its gradient is coef*w (the ½coef·w² form
+        # used here) or 2·coef·w cannot be verified from the call-sites
+        # (src/network.rs:79-84).  At coef 1e-6 the two differ far below
+        # the data-loss gradient scale; tune cfg.l2_reg if exact training
+        # parity against a reference run ever matters.
         reg = cfg.l2_reg * 0.5 * sum(jnp.sum(w * w)
                                      for w in jax.tree.leaves(params))
     mse = jnp.mean((a - b) ** 2)

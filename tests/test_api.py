@@ -34,6 +34,24 @@ def test_tiny_image():
     assert out.shape == (3, 27, 3)
 
 
+def test_upscale_uint8_roundtrip():
+    """uint8 input rides the u8 device path and returns uint8, matching
+    the f32 path after output quantisation."""
+    from rusty_sr_tpu.utils.imageio import to_u8
+    u8 = (RNG.random((12, 14, 3)) * 255).astype(np.uint8)
+    out_u8 = rusty_sr_tpu.upscale(u8, weights="anime", tile=16)
+    assert out_u8.dtype == np.uint8 and out_u8.shape == (36, 42, 3)
+    out_f = rusty_sr_tpu.upscale(u8.astype(np.float32) / 255.0,
+                                 weights="anime", tile=16)
+    np.testing.assert_array_equal(out_u8, to_u8(out_f))
+
+
+def test_upscale_rejects_out_of_range_floats():
+    bad = np.full((8, 8, 3), 128.0, np.float32)  # forgot the /255
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        rusty_sr_tpu.upscale(bad, weights="anime", tile=16)
+
+
 def test_downscale_and_bilinear():
     img = RNG.random((10, 13, 3), dtype=np.float32)
     down = rusty_sr_tpu.downscale(img)       # crops to 9x12 then pools

@@ -50,6 +50,18 @@ def test_main_missing_input(capsys):
     assert "Error opening input image file" in capsys.readouterr().err
 
 
+def test_builtin_weights_wrong_factor_friendly_error(tmp_path, capsys):
+    """-p imagenet -f 2: builtin weights are factor-3, must exit 1 with the
+    reference's size-mismatch message, not a traceback (src/main.rs:162)."""
+    from rusty_sr_tpu.utils.imageio import save_image
+    src = tmp_path / "in.png"
+    save_image(str(src), np.random.default_rng(0).random((6, 5, 3)).astype(np.float32))
+    rc = cli.main(["--platform", "cpu", "-p", "imagenet", "-f", "2",
+                   str(src), str(tmp_path / "out.png")])
+    assert rc == 1
+    assert "same factor" in capsys.readouterr().err
+
+
 def test_end_to_end_bilinear(tmp_path):
     """Cheapest full CLI path: bilinear mode on a tiny image."""
     from rusty_sr_tpu.utils.imageio import save_image, load_image

@@ -140,3 +140,40 @@ class TestData:
         sup = ImageFolderSupplier(str(tmp_path), crop=(24, 24))
         img = next(iter(sup))
         assert img.shape == (24, 24, 3)
+
+    def test_all_unreadable_raises_not_spins(self, tmp_path):
+        """A folder of undecodable files must raise (on the consumer side
+        for a PrefetchBuffer), not spin forever."""
+        import pytest
+        from rusty_sr_tpu.train.data import ImageFolderSupplier, PrefetchBuffer
+        for i in range(2):
+            (tmp_path / f"bad{i}.png").write_bytes(b"not a png at all")
+        sup = ImageFolderSupplier(str(tmp_path), crop=(8, 8), shuffle=True)
+        with pytest.raises(RuntimeError, match="could be decoded"):
+            next(iter(sup))
+        sup2 = ImageFolderSupplier(str(tmp_path), crop=(8, 8), shuffle=True)
+        buf = PrefetchBuffer(sup2, depth=4, batch_size=1)
+        try:
+            with pytest.raises(RuntimeError, match="could be decoded"):
+                buf.next_batch()
+        finally:
+            buf.close()
+
+    def test_buffer_shutdown_never_wedges(self, tmp_path):
+        """close() with a full queue and an unread sentinel must let the
+        worker exit, and next_batch() after close() must return None."""
+        import time
+        from rusty_sr_tpu.train.data import ImageFolderSupplier, PrefetchBuffer
+        from rusty_sr_tpu.utils.imageio import save_image
+        for i in range(6):
+            save_image(str(tmp_path / f"img{i}.png"),
+                       RNG.random((8, 8, 3)).astype(np.float32))
+        # sequential: stream ends while the depth-1 queue is full, so the
+        # end-of-stream sentinel put would block forever without the fix
+        sup = ImageFolderSupplier(str(tmp_path), crop=None, shuffle=False)
+        buf = PrefetchBuffer(sup, depth=1, batch_size=1)
+        time.sleep(0.3)  # let the worker fill the queue and hit the sentinel
+        buf.close()
+        buf._thread.join(timeout=5.0)
+        assert not buf._thread.is_alive()
+        assert buf.next_batch() is None
