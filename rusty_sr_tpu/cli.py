@@ -24,8 +24,12 @@ def build_parser() -> argparse.ArgumentParser:
                     "(TPU-native). Run the `train` subcommand to learn new weights.",
     )
     p.add_argument("--version", action="version", version="rusty_sr_tpu v0.1.0")
-    p.add_argument("INPUT_FILE", help="input image to upscale")
-    p.add_argument("OUTPUT_FILE", help="output file to write/overwrite (.png recommended)")
+    p.add_argument("INPUT_FILE",
+                   help="input image to upscale, or a folder of images "
+                        "(tiles are then batched across images)")
+    p.add_argument("OUTPUT_FILE",
+                   help="output file to write/overwrite (.png recommended); "
+                        "a folder when INPUT_FILE is a folder")
     p.add_argument("-p", "--parameters",
                    choices=["imagenet", "imagenetlinear", "anime", "bilinear"],
                    help="which built-in parameters to use with the neural net")
@@ -95,6 +99,10 @@ def run_upscale(args) -> int:
               file=sys.stderr)
         return 2
 
+    import os
+    if os.path.isdir(args.INPUT_FILE):
+        return _run_upscale_folder(args)
+
     try:
         # Decode once as u8 (the device paths take u8 directly; the f32
         # view is derived only where a path needs it).
@@ -152,6 +160,76 @@ def run_upscale(args) -> int:
 
     print(" Writing file...", end="", flush=True)
     save_image(args.OUTPUT_FILE, out)
+    print(" Done")
+    return 0
+
+
+def _run_upscale_folder(args) -> int:
+    """Folder mode: upscale every image in INPUT_FILE into OUTPUT_FILE/,
+    batching tiles across images to amortise per-dispatch fixed costs."""
+    import os
+    import jax.numpy as jnp
+    from rusty_sr_tpu import params as params_lib
+    from rusty_sr_tpu.models.sr_net import bilinear_apply, downsample_apply
+    from rusty_sr_tpu.parallel.tiling import tiled_sr_batch
+    from rusty_sr_tpu.train.data import list_images
+    from rusty_sr_tpu.utils.imageio import load_image_u8, save_image, save_image_u8
+
+    files = list_images(args.INPUT_FILE)
+    if not files:
+        print(f"error: no images found in {args.INPUT_FILE!r}", file=sys.stderr)
+        return 1
+    os.makedirs(args.OUTPUT_FILE, exist_ok=True)
+    out_paths = [os.path.join(
+        args.OUTPUT_FILE, os.path.splitext(os.path.basename(f))[0] + ".png")
+        for f in files]
+    images, keep = [], []
+    for i, f in enumerate(files):
+        try:
+            images.append(load_image_u8(f))
+            keep.append(i)
+        except OSError as e:
+            print(f"skipping {f}: {e}", file=sys.stderr)
+    if not images:
+        print("error: no readable images", file=sys.stderr)
+        return 1
+
+    if args.downsample or args.parameters == "bilinear":
+        # cheap non-tiled paths: per-image loop
+        fn = downsample_apply if args.downsample else bilinear_apply
+        verb = "Downsampling" if args.downsample else "Upscaling (bilinear)"
+        print(f"{verb} {len(images)} images...", end="", flush=True)
+        for img, i in zip(images, keep):
+            x = img.astype(np.float32) / 255.0
+            if args.downsample:
+                f = args.factor
+                h, w, _ = x.shape
+                x = x[: h - h % f, : w - w % f]
+            save_image(out_paths[i], np.asarray(fn(jnp.asarray(x)[None],
+                                                   args.factor)[0]))
+        print(" Done")
+        return 0
+
+    if args.custom:
+        try:
+            tree = params_lib.load_rsr_file(args.custom, args.factor)
+        except ValueError as e:
+            print(f"\nerror: {e}. Parameters selected do not have the size "
+                  "required by the neural net. Ensure that the same factor "
+                  "is used for upscaling and training.", file=sys.stderr)
+            return 1
+    else:
+        tree = params_lib.load_builtin(args.parameters or "imagenet",
+                                       args.factor)
+    tree = {k: jnp.asarray(v) for k, v in tree.items()}
+    print(f"Upscaling {len(images)} images (tiles batched across images)...",
+          end="", flush=True)
+    outs = tiled_sr_batch(
+        tree, images, args.factor, tile=args.tile, chunk=args.chunk,
+        compute_dtype=jnp.bfloat16 if args.fast else None)
+    print(" Writing files...", end="", flush=True)
+    for out, i in zip(outs, keep):
+        save_image_u8(out_paths[i], out)
     print(" Done")
     return 0
 

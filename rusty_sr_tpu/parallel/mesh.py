@@ -65,9 +65,10 @@ def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
     tile kernel then runs embarrassingly parallel across chips (no
     collectives needed on the forward path; results gather to host).
     """
-    from rusty_sr_tpu.parallel.tiling import HALO, _tile_kernel
+    from rusty_sr_tpu.parallel.tiling import HALO, _tile_kernel, trunk_params
     from rusty_sr_tpu.utils import native
 
+    params = trunk_params(params)
     n_data = mesh.shape["data"]
     img = np.asarray(image, dtype=np.float32)
     hgt, wid, _ = img.shape

@@ -49,11 +49,32 @@ from rusty_sr_tpu.utils import native
 HALO = 7
 
 
+def trunk_params(params):
+    """Exactly the (merged-conv) keys `_tile_kernel` consumes.
+
+    Merging same-source convs along O (see models.sr_net.merge_params) is
+    mathematically identical and turns the dominant stage into wide MXU
+    matmuls; restricting to the consumed keys keeps the jit pytree stable
+    whether the caller passes raw or pre-merged trees.
+    """
+    if "convA" not in params:
+        from rusty_sr_tpu.models.sr_net import merge_params
+        params = merge_params(params)
+    keys = ("conv0", "convA", "convB", "convC", "conv10",
+            "f_bias", "f_belu", "l1_bias", "l1_belu", "l2_bias", "l2_belu",
+            "l3_bias", "l3_belu", "expand_bias")
+    return {k: params[k] for k in keys}
+
+
 @functools.partial(jax.jit, static_argnames=("factor", "tile", "compute_dtype",
                                              "u8_io"))
 def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
                  tile: int, compute_dtype=None, u8_io: bool = False):
     """(B, T+2h, T+2h, ·) -> (B, f*T, f*T, 3) exact SR of tile centres.
+
+    ``params`` is the merged-conv tree from `trunk_params` — the same
+    convA/B/C decomposition `sr_apply_fused` uses, so the CLI's tiled path
+    and the benched path run the identical device graph.
 
     With ``u8_io`` the tiles arrive as uint8 (converted to f32/255 on
     device — exact for image sources) and the result is quantised to uint8
@@ -77,20 +98,31 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
         x = x.astype(compute_dtype)
         mask = mask.astype(compute_dtype)
 
-    def cv(t, name):
+    def cv(t, name, native=False):
         w = params[name]
         if compute_dtype is not None:
             w = w.astype(compute_dtype)
             t = t.astype(compute_dtype)
+            if native:
+                # conv0's im2col concat replicates the 3-channel input 25x
+                # at T(4,128) tiling; the native emitter is cheaper there
+                # (scripts/perf_probe13.py).
+                from rusty_sr_tpu.ops.conv import _conv_native
+                return _conv_native(t, w, jnp.float32, None)
         return conv2d_same(t, w)
 
     p = params
-    f_ = mask * belu(cv(x, "conv0") + p["f_bias"], p["f_belu"])
-    l1 = mask * belu(cv(f_, "conv1") + p["l1_bias"], p["l1_belu"])
-    l2 = mask * belu(cv(f_, "conv2") + cv(l1, "conv5") + p["l2_bias"], p["l2_belu"])
-    l3 = mask * belu(cv(f_, "conv3") + cv(l1, "conv6") + cv(l2, "conv8")
+    n = p["f_bias"].shape[0]
+    e = p["expand_bias"].shape[0]
+    f_ = mask * belu(cv(x, "conv0", native=True) + p["f_bias"], p["f_belu"])
+    a = cv(f_, "convA")                                  # conv1|conv2|conv3
+    l1 = mask * belu(a[..., :n] + p["l1_bias"], p["l1_belu"])
+    b = cv(l1, "convB")                                  # conv5|conv6|conv7
+    l2 = mask * belu(a[..., n:2 * n] + b[..., :n] + p["l2_bias"], p["l2_belu"])
+    c = cv(l2, "convC")                                  # conv8|conv9
+    l3 = mask * belu(a[..., 2 * n:3 * n] + b[..., n:2 * n] + c[..., :n]
                      + p["l3_bias"], p["l3_belu"])
-    expand = (cv(l1, "conv7") + cv(l2, "conv9") + cv(l3, "conv10")
+    expand = (b[..., 2 * n:2 * n + e] + c[..., n:n + e] + cv(l3, "conv10")
               + p["expand_bias"])
     # LR-space base (exact f32) + halo crop before the single HR-sized op.
     base_ph = bilinear_phases(edge_tiles, factor)
@@ -118,6 +150,120 @@ def _tile_kernel_fused(packed, zero_tiles, edge_tiles, mask_tiles,
     return depth_to_space(base_ph + expand, factor)
 
 
+def _gather_u8(img: np.ndarray, tile: int, h: int, ny: int, nx: int):
+    """uint8 tile gather (zero-pad, edge-pad, mask), numpy host path."""
+    hgt, wid, _ = img.shape
+    pad = ((h, h + ny * tile - hgt), (h, h + nx * tile - wid), (0, 0))
+    zero_img = np.pad(img, pad)
+    edge_img = np.pad(img, pad, mode="edge")
+    mask_img = np.pad(np.ones((hgt, wid, 1), np.uint8), pad)
+    side = tile + 2 * h
+    n = ny * nx
+    zt = np.empty((n, side, side, 3), np.uint8)
+    et = np.empty((n, side, side, 3), np.uint8)
+    mt = np.empty((n, side, side, 1), np.uint8)
+    k = 0
+    for iy in range(ny):
+        for ix in range(nx):
+            y0, x0 = iy * tile, ix * tile
+            zt[k] = zero_img[y0:y0 + side, x0:x0 + side]
+            et[k] = edge_img[y0:y0 + side, x0:x0 + side]
+            mt[k] = mask_img[y0:y0 + side, x0:x0 + side]
+            k += 1
+    return zt, et, mt
+
+
+def _scatter_u8(res: np.ndarray, start: int, nx: int, tf: int, out: np.ndarray):
+    """Scatter uint8 HR tiles (image-local indices) into `out`."""
+    for j in range(res.shape[0]):
+        iy, ix = divmod(start + j, nx)
+        rows = min(out.shape[0] - iy * tf, tf)
+        cols = min(out.shape[1] - ix * tf, tf)
+        if rows > 0 and cols > 0:
+            out[iy * tf:iy * tf + rows, ix * tf:ix * tf + cols] = \
+                res[j, :rows, :cols]
+
+
+def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 114,
+                   chunk: int = 8, compute_dtype=None,
+                   device_put: Callable = jax.device_put) -> list:
+    """Upscale a list of images, batching tiles ACROSS images.
+
+    The per-dispatch fixed costs (host<->device round trips over the
+    tunnel, partially-filled final chunks) amortise over the whole set
+    instead of being paid per image — the reference has no analogue (one
+    `graph.forward` per process run, src/main.rs:171).  All images must
+    share the input dtype (all uint8 or all float).  Returns outputs in
+    input order (uint8 in => uint8 out).
+    """
+    if not images:
+        return []
+    imgs = [np.asarray(im) for im in images]
+    u8_io = imgs[0].dtype == np.uint8
+    assert all((im.dtype == np.uint8) == u8_io for im in imgs), \
+        "all images must share the input dtype"
+    if not u8_io:
+        imgs = [np.asarray(im, np.float32) for im in imgs]
+    params = trunk_params(params)
+    h = HALO
+    side = tile + 2 * h
+    tf = tile * factor
+
+    zts, ets, mts, metas = [], [], [], []   # metas: (ny, nx, H, W)
+    for img in imgs:
+        hgt, wid, _ = img.shape
+        ny = max(1, -(-hgt // tile))
+        nx = max(1, -(-wid // tile))
+        if u8_io:
+            zt, et, mt = _gather_u8(img, tile, h, ny, nx)
+        else:
+            zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
+        zts.append(zt); ets.append(et); mts.append(mt)
+        metas.append((ny, nx, hgt, wid))
+    zt = np.concatenate(zts); et = np.concatenate(ets); mt = np.concatenate(mts)
+    starts = np.cumsum([0] + [m[0] * m[1] for m in metas])  # image offsets
+    n_tiles = int(starts[-1])
+
+    out_dtype = np.uint8 if u8_io else np.float32
+    outs = [np.zeros((m[2] * factor, m[3] * factor, 3), out_dtype)
+            for m in metas]
+
+    run = lambda z, e, m: _tile_kernel(  # noqa: E731
+        params, z, e, m, factor, tile, compute_dtype, u8_io)
+
+    pending = []
+    for g0 in range(0, n_tiles, chunk):
+        g1 = min(g0 + chunk, n_tiles)
+        cnt = g1 - g0
+        zb, eb, mb = zt[g0:g1], et[g0:g1], mt[g0:g1]
+        if cnt < chunk:  # pad the (single) final partial chunk
+            fill = chunk - cnt
+            zb = np.concatenate([zb, np.zeros((fill, side, side, 3), zt.dtype)])
+            eb = np.concatenate([eb, np.zeros((fill, side, side, 3), et.dtype)])
+            mb = np.concatenate([mb, np.zeros((fill, side, side, 1), mt.dtype)])
+        pending.append(
+            (g0, cnt, run(device_put(zb), device_put(eb), device_put(mb))))
+
+    img_idx = 0
+    for g0, cnt, res in pending:
+        res = np.asarray(res[:cnt])
+        j = 0
+        while j < cnt:  # split the chunk into per-image contiguous runs
+            g = g0 + j
+            while g >= starts[img_idx + 1]:
+                img_idx += 1
+            local = g - starts[img_idx]
+            run_len = min(cnt - j, int(starts[img_idx + 1]) - g)
+            ny, nx, _, _ = metas[img_idx]
+            if u8_io:
+                _scatter_u8(res[j:j + run_len], local, nx, tf, outs[img_idx])
+            else:
+                native.scatter_tiles(res[j:j + run_len], local, nx,
+                                     outs[img_idx])
+            j += run_len
+    return outs
+
+
 def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 114,
              chunk: int = 8, compute_dtype=None, engine: str = "xla",
              rh: int = 16, packed=None,
@@ -132,6 +278,8 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 114,
     """
     u8_io = (np.asarray(image).dtype == np.uint8)
     img = np.asarray(image) if u8_io else np.asarray(image, dtype=np.float32)
+    if engine == "xla":
+        params = trunk_params(params)
     hgt, wid, _ = img.shape
     h = HALO
     ny = max(1, -(-hgt // tile))
@@ -140,23 +288,7 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 114,
     if u8_io:
         # uint8 end-to-end: 4x less host<->device transfer; conversion to
         # f32/255 and the final quantisation happen on device.
-        pad = ((h, h + ny * tile - hgt), (h, h + nx * tile - wid), (0, 0))
-        zero_img = np.pad(img, pad)
-        edge_img = np.pad(img, pad, mode="edge")
-        mask_img = np.pad(np.ones((hgt, wid, 1), np.uint8), pad)
-        side_ = tile + 2 * h
-        n_ = ny * nx
-        zt = np.empty((n_, side_, side_, 3), np.uint8)
-        et = np.empty((n_, side_, side_, 3), np.uint8)
-        mt = np.empty((n_, side_, side_, 1), np.uint8)
-        k = 0
-        for iy in range(ny):
-            for ix in range(nx):
-                y0, x0 = iy * tile, ix * tile
-                zt[k] = zero_img[y0:y0 + side_, x0:x0 + side_]
-                et[k] = edge_img[y0:y0 + side_, x0:x0 + side_]
-                mt[k] = mask_img[y0:y0 + side_, x0:x0 + side_]
-                k += 1
+        zt, et, mt = _gather_u8(img, tile, h, ny, nx)
     else:
         zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
 
@@ -199,14 +331,7 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 114,
     tf = tile * factor
     for start, cnt, res in pending:
         if u8_io:
-            res = np.asarray(res[:cnt])
-            for j in range(cnt):
-                iy, ix = divmod(start + j, nx)
-                rows = min(out.shape[0] - iy * tf, tf)
-                cols = min(out.shape[1] - ix * tf, tf)
-                if rows > 0 and cols > 0:
-                    out[iy * tf:iy * tf + rows, ix * tf:ix * tf + cols] = \
-                        res[j, :rows, :cols]
+            _scatter_u8(np.asarray(res[:cnt]), start, nx, tf, out)
         else:
             native.scatter_tiles(np.asarray(res[:cnt]), start, nx, out)
     return out

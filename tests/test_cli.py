@@ -62,6 +62,28 @@ def test_builtin_weights_wrong_factor_friendly_error(tmp_path, capsys):
     assert "same factor" in capsys.readouterr().err
 
 
+def test_folder_mode_batches_images(tmp_path, capsys):
+    """INPUT as folder: every image lands in OUTPUT folder, matching the
+    single-image CLI path byte-for-byte."""
+    from rusty_sr_tpu.utils.imageio import save_image, load_image_u8
+    rng = np.random.default_rng(5)
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, shape in enumerate([(20, 15, 3), (9, 31, 3)]):
+        save_image(str(src / f"im{i}.png"), rng.random(shape).astype(np.float32))
+    dst = tmp_path / "out"
+    rc = cli.main(["--platform", "cpu", "-p", "anime", "--tile", "16",
+                   str(src), str(dst)])
+    assert rc == 0
+    for i in range(2):
+        single = tmp_path / f"single{i}.png"
+        rc = cli.main(["-p", "anime", "--tile", "16",
+                       str(src / f"im{i}.png"), str(single)])
+        assert rc == 0
+        np.testing.assert_array_equal(load_image_u8(str(dst / f"im{i}.png")),
+                                      load_image_u8(str(single)))
+
+
 def test_end_to_end_bilinear(tmp_path):
     """Cheapest full CLI path: bilinear mode on a tiny image."""
     from rusty_sr_tpu.utils.imageio import save_image, load_image

@@ -47,6 +47,27 @@ def test_tiled_ragged_edges(anime_params):
     np.testing.assert_allclose(got, want, atol=2e-6)
 
 
+def test_batch_matches_single_image(anime_params, cartoon):
+    """tiled_sr_batch: chunks spanning image boundaries scatter correctly
+    and match per-image tiled_sr exactly (f32 and u8 paths)."""
+    from rusty_sr_tpu.parallel.tiling import tiled_sr_batch
+    rng = np.random.default_rng(3)
+    imgs = [cartoon, rng.random((37, 61, 3), dtype=np.float32),
+            rng.random((17, 23, 3), dtype=np.float32)]
+    # chunk=5 does not divide any per-image tile count at tile=30
+    outs = tiled_sr_batch(anime_params, imgs, 3, tile=30, chunk=5)
+    for img, got in zip(imgs, outs):
+        want = tiled_sr(anime_params, img, 3, tile=30, chunk=5)
+        np.testing.assert_array_equal(got, want)
+    # u8 end-to-end
+    imgs_u8 = [(im * 255).astype(np.uint8) for im in imgs]
+    outs_u8 = tiled_sr_batch(anime_params, imgs_u8, 3, tile=30, chunk=5)
+    for img, got in zip(imgs_u8, outs_u8):
+        want = tiled_sr(anime_params, img, 3, tile=30, chunk=5)
+        assert got.dtype == np.uint8
+        np.testing.assert_array_equal(got, want)
+
+
 def test_halo_is_receptive_field_radius():
     """Impulse test: trunk receptive field must not exceed HALO LR px."""
     params = jax.tree.map(jnp.asarray, load_builtin("anime"))
