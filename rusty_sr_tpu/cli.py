@@ -39,14 +39,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="perform downscaling rather than upscaling")
     p.add_argument("-f", "--factor", type=int, default=3,
                    help="upscale factor (reference hardcodes 3; custom weights must match)")
-    p.add_argument("--tile", type=int, default=114,
+    p.add_argument("--tile", type=int, default=242,
                    help="LR tile size for overlap-tile inference")
     p.add_argument("--chunk", type=int, default=8,
                    help="tiles per device dispatch")
     p.add_argument("--fast", action="store_true",
                    help="bf16 conv trunk (higher throughput, ~1 code max deviation)")
-    p.add_argument("--engine", choices=["xla", "fused"], default="xla",
-                   help="device engine: 'fused' uses the Pallas trunk kernel")
+    p.add_argument("--engine", choices=["xla", "int8", "fused"], default="xla",
+                   help="device engine: 'int8' runs the trunk quantised "
+                        "(calibrated per-channel scales, ~55+ dB parity); "
+                        "'fused' uses the Pallas trunk kernel")
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                    help="force a JAX platform (default: environment's)")
     return p
@@ -78,6 +80,14 @@ def build_train_parser() -> argparse.ArgumentParser:
     t.add_argument("--ckpt_dir", metavar="DIR", default=None,
                    help="also write orbax native checkpoints (params + "
                         "optimizer state, resumable) to DIR")
+    t.add_argument("--mesh", metavar="SPEC", default=None,
+                   help="data-parallel training over a device mesh: "
+                        "'data=N[,spatial=M]' or just 'N' (batch shards "
+                        "over 'data', image height over 'spatial'; XLA "
+                        "inserts the gradient all-reduce)")
+    t.add_argument("--batch", type=int, default=None,
+                   help="batch size (reference default 4); must divide "
+                        "evenly over the mesh 'data' axis")
     t.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                    help="force a JAX platform (default: environment's)")
     return t
@@ -145,7 +155,7 @@ def run_upscale(args) -> int:
                   "is used for upscaling and training.", file=sys.stderr)
             return 1
         tree = {k: jnp.asarray(v) for k, v in tree.items()}
-        if args.engine == "xla":
+        if args.engine in ("xla", "int8"):
             # u8 tiles end-to-end: 4x less host<->device transfer
             out = tiled_sr(tree, img_u8, args.factor, tile=args.tile,
                            chunk=args.chunk, compute_dtype=compute_dtype,
@@ -245,8 +255,29 @@ def run_train(args) -> int:
     from rusty_sr_tpu.utils.imageio import load_image
     from rusty_sr_tpu.train.data import list_images
 
+    mesh = None
+    if args.mesh:
+        from rusty_sr_tpu.parallel.mesh import make_mesh
+        try:
+            spec = dict(kv.split("=") for kv in args.mesh.split(",")) \
+                if "=" in args.mesh else {"data": args.mesh}
+            n_data = int(spec.pop("data"))
+            n_spatial = int(spec.pop("spatial", 1))
+            if spec:
+                raise ValueError(f"unknown mesh axes {sorted(spec)}")
+            mesh = make_mesh(n_data=n_data, n_spatial=n_spatial)
+        except (ValueError, AssertionError) as e:
+            print(f"error: bad --mesh {args.mesh!r}: {e}", file=sys.stderr)
+            return 2
+
     cfg = TrainConfig(factor=args.factor, linear_loss=args.linear_loss,
                       loss_kind=args.loss)
+    if args.batch is not None:
+        cfg.batch_size = args.batch
+    if mesh is not None and cfg.batch_size % mesh.shape["data"] != 0:
+        print(f"error: batch size {cfg.batch_size} does not divide over "
+              f"mesh data={mesh.shape['data']} (use --batch)", file=sys.stderr)
+        return 2
 
     try:
         supplier = ImageFolderSupplier(args.TRAINING_FOLDER,
@@ -281,7 +312,7 @@ def run_train(args) -> int:
         train_loop(cfg, batches(), start_params=start,
                    param_file=args.PARAMETER_FILE, val_images=val_images,
                    max_steps=args.max_steps, metrics_file=args.metrics,
-                   native_ckpt_dir=args.ckpt_dir)
+                   native_ckpt_dir=args.ckpt_dir, mesh=mesh)
     finally:
         buf.close()
     print("Done")

@@ -100,24 +100,25 @@ def sr_apply_fused(mparams, x: jnp.ndarray, factor: int = 3, *,
     p = mparams
     e = x.shape[-1] * factor * factor
 
-    xc = x if compute_dtype is None else x.astype(compute_dtype)
     _conv = conv_fn or conv2d_same
 
     def cv(h, name, native=False):
         w = p[name]
         if compute_dtype is not None:
+            if native and conv_fn is None:
+                # conv0 reads the raw image: rounding it to bf16 costs
+                # 3.4 dB for 1.8% of FLOPs, so it runs f32 operands at
+                # Precision.HIGH via the native emitter (the im2col concat
+                # of a 3-channel input replicates it 25x at T(4,128)
+                # tiling; scripts/perf_probe13.py).
+                from jax import lax as _lax
+                from rusty_sr_tpu.ops.conv import _conv_native
+                return _conv_native(h, w, jnp.float32, _lax.Precision.HIGH)
             w = w.astype(compute_dtype)
             h = h.astype(compute_dtype)
-            if native and conv_fn is None:
-                # conv0's im2col concat replicates the 3-channel input 25x
-                # at T(4,128) tiling (~2ms/pass at 16x256^2); the native
-                # emitter is cheaper there.  bf16 operands are exact on the
-                # MXU either way.
-                from rusty_sr_tpu.ops.conv import _conv_native
-                return _conv_native(h, w, jnp.float32, None)
         return _conv(h, w)
 
-    f = belu(cv(xc, "conv0", native=True) + p["f_bias"], p["f_belu"])
+    f = belu(cv(x, "conv0", native=True) + p["f_bias"], p["f_belu"])
     a = cv(f, "convA")                                   # (…, 96)
     l1 = belu(a[..., :32] + p["l1_bias"], p["l1_belu"])
     b = cv(l1, "convB")                                  # (…, 64+e)

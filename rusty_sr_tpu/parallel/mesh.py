@@ -57,7 +57,7 @@ def shard_batch(mesh: Mesh, batch: np.ndarray) -> jax.Array:
 
 
 def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
-                     *, tile: int = 114, compute_dtype=None) -> np.ndarray:
+                     *, tile: int = 242, compute_dtype=None) -> np.ndarray:
     """Overlap-tile inference with the tile batch sharded over the mesh's
     'data' axis — SURVEY.md §2.4's "batch-of-tiles data parallelism".
 

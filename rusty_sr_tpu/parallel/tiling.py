@@ -94,21 +94,22 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
         mask_tiles = mask_tiles.astype(jnp.float32)
     x = zero_tiles
     mask = mask_tiles
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        mask = mask.astype(compute_dtype)
 
     def cv(t, name, native=False):
         w = params[name]
         if compute_dtype is not None:
+            if native:
+                # conv0 reads the RAW IMAGE: rounding it to bf16 costs the
+                # fast tier 3.4 dB for 1.8% of FLOPs, so conv0 runs f32 at
+                # Precision.HIGH (3-pass bf16, captures the full f32 gain)
+                # through the native emitter (the im2col concat of a
+                # 3-channel input replicates it 25x at T(4,128) tiling;
+                # scripts/perf_probe13.py / quality notes in git history).
+                from jax import lax
+                from rusty_sr_tpu.ops.conv import _conv_native
+                return _conv_native(t, w, jnp.float32, lax.Precision.HIGH)
             w = w.astype(compute_dtype)
             t = t.astype(compute_dtype)
-            if native:
-                # conv0's im2col concat replicates the 3-channel input 25x
-                # at T(4,128) tiling; the native emitter is cheaper there
-                # (scripts/perf_probe13.py).
-                from rusty_sr_tpu.ops.conv import _conv_native
-                return _conv_native(t, w, jnp.float32, None)
         return conv2d_same(t, w)
 
     p = params
@@ -128,6 +129,31 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
     base_ph = bilinear_phases(edge_tiles, factor)
     total = base_ph[:, h:h + tile, h:h + tile, :] + \
         expand[:, h:h + tile, h:h + tile, :].astype(jnp.float32)
+    if u8_io:
+        total = jnp.floor(jnp.clip(total, 0.0, 1.0) * 255.0 + 0.5)
+        return depth_to_space(total, factor).astype(jnp.uint8)
+    return depth_to_space(total, factor)
+
+
+@functools.partial(jax.jit, static_argnames=("factor", "tile", "u8_io"))
+def _tile_kernel_q8(q, zero_tiles, edge_tiles, mask_tiles, factor: int,
+                    tile: int, u8_io: bool = False):
+    """Int8-trunk tile kernel (models.quant v2: calibrated per-channel
+    activation scales folded into weights).  Same tiling/mask semantics as
+    `_tile_kernel`; the trunk runs int8, base + final sum stay f32."""
+    from rusty_sr_tpu.models.quant import q8_expand
+    from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
+    from rusty_sr_tpu.ops.resize import bilinear_phases
+
+    h = HALO
+    if u8_io:
+        zero_tiles = zero_tiles.astype(jnp.float32) * (1.0 / 255.0)
+        edge_tiles = edge_tiles.astype(jnp.float32) * (1.0 / 255.0)
+        mask_tiles = mask_tiles.astype(jnp.float32)
+    expand = q8_expand(q, zero_tiles, factor, mask=mask_tiles)
+    base_ph = bilinear_phases(edge_tiles, factor)
+    total = base_ph[:, h:h + tile, h:h + tile, :] + \
+        expand[:, h:h + tile, h:h + tile, :]
     if u8_io:
         total = jnp.floor(jnp.clip(total, 0.0, 1.0) * 255.0 + 0.5)
         return depth_to_space(total, factor).astype(jnp.uint8)
@@ -184,7 +210,7 @@ def _scatter_u8(res: np.ndarray, start: int, nx: int, tf: int, out: np.ndarray):
                 res[j, :rows, :cols]
 
 
-def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 114,
+def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
                    chunk: int = 8, compute_dtype=None,
                    device_put: Callable = jax.device_put) -> list:
     """Upscale a list of images, batching tiles ACROSS images.
@@ -264,14 +290,16 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 114,
     return outs
 
 
-def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 114,
+def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
              chunk: int = 8, compute_dtype=None, engine: str = "xla",
              rh: int = 16, packed=None,
              device_put: Callable = jax.device_put) -> np.ndarray:
     """Upscale (H,W,3) f32 by ``factor`` exactly, any size, one executable.
 
     ``tile`` is the LR tile side (tile+2*HALO is the padded compute side;
-    default 114 ⇒ 128-wide padded tiles, lane-aligned).  ``chunk`` bounds
+    default 242 ⇒ 256-wide padded tiles, lane-aligned — measured fastest
+    on v5e: halo overhead 1.12x vs 1.26x at 114, scripts/perf_probe14.py).
+    ``chunk`` bounds
     how many tiles run per device dispatch.  ``engine``: "xla" or "fused"
     (Pallas trunk; pass ``packed`` from pack_trunk_weights to avoid
     repacking, and ``rh`` as the kernel row-block).
@@ -292,7 +320,22 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 114,
     else:
         zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
 
-    if engine == "fused":
+    if engine == "int8":
+        from rusty_sr_tpu.models.quant import calibrate_act_scales, quantize_trunk
+        m = trunk_params(params)
+        # Self-calibration: per-channel activation ranges from <= chunk
+        # tiles sampled evenly ACROSS the image (one exact f32 pass).
+        # First-chunk-only sampling under-covers large images (measured
+        # ~-9 dB when calibration misses the range, tests/test_quant.py).
+        idx = np.unique(np.linspace(0, ny * nx - 1,
+                                    min(chunk, ny * nx)).astype(int))
+        sample = zt[idx]
+        if u8_io:
+            sample = sample.astype(np.float32) / 255.0
+        q = quantize_trunk(m, calibrate_act_scales(m, sample))
+        run = lambda z, e, mk: _tile_kernel_q8(  # noqa: E731
+            q, z, e, mk, factor, tile, u8_io)
+    elif engine == "fused":
         assert not u8_io, "u8 I/O is implemented for the xla engine"
         if packed is None:
             from rusty_sr_tpu.ops.pallas.trunk import pack_trunk_weights

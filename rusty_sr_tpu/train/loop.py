@@ -108,8 +108,11 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[Mesh] = None,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, mse
 
+    # params/opt_state are consumed and re-emitted every step: donating
+    # them lets XLA update in place instead of copying ~1 MB of state per
+    # step (free HBM + step time at larger widths/crops).
     if mesh is None:
-        return jax.jit(step), opt
+        return jax.jit(step, donate_argnums=(0, 1)), opt
 
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(
@@ -118,14 +121,48 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[Mesh] = None,
         step,
         in_shardings=(repl, repl, batch_sh),
         out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1),
     )
     return jitted, opt
 
 
+def _np_srgb_to_linear(x: np.ndarray) -> np.ndarray:
+    return np.where(x <= 0.04045, x / 12.92,
+                    ((x + 0.055) / 1.055) ** 2.4).astype(np.float32)
+
+
+def _np_linear_to_srgb(x: np.ndarray) -> np.ndarray:
+    return np.where(x <= 0.0031308, 12.92 * x,
+                    1.055 * np.maximum(x, 0.0) ** (1 / 2.4) - 0.055
+                    ).astype(np.float32)
+
+
+def _np_make_lr(hr: np.ndarray, f: int) -> np.ndarray:
+    """Host-side self-supervised pair synthesis (srgb->linear -> f x f
+    mean-pool -> linear->srgb, reference src/network.rs:87-92).
+
+    Validation images have arbitrary shapes; doing this in numpy keeps
+    validation at ZERO device compiles (the device pipeline is only for
+    the fixed-shape training step)."""
+    lin = _np_srgb_to_linear(np.asarray(hr, np.float32))
+    h, w, c = lin.shape
+    lin = lin.reshape(h // f, f, w // f, f, c).mean(axis=(1, 3))
+    return _np_linear_to_srgb(lin)
+
+
 def validation_psnr(params, val_images, cfg: TrainConfig,
-                    apply_fn: Optional[Callable] = None) -> float:
+                    apply_fn: Optional[Callable] = None,
+                    tile: int = 242) -> float:
     """Pixel-weighted validation PSNR over whole images
-    (reference src/main.rs:231-250): -10*log10(sum(err*px)/sum(px))."""
+    (reference src/main.rs:231-250): -10*log10(sum(err*px)/sum(px)).
+
+    SR runs through the fixed-shape overlap-tile path (bit-identical to
+    the whole-image forward, tests/test_tiling.py) so validating on
+    arbitrary image sizes triggers no recompiles — on a real TPU with
+    minutes-per-compile, shape-polymorphic validation every 100 steps
+    would dominate the run."""
+    from rusty_sr_tpu.parallel.tiling import tiled_sr
+
     err_sum, pix_sum = 0.0, 0.0
     for hr in val_images:
         hr = np.asarray(hr, np.float32)
@@ -133,14 +170,16 @@ def validation_psnr(params, val_images, cfg: TrainConfig,
         # Crop HR so it pools evenly, as the in-graph pipeline requires.
         h, w, _ = hr.shape
         hr = hr[: h - h % f, : w - w % f]
-        hrj = jnp.asarray(hr)[None]
-        lr = make_lr_from_hr(hrj, f)
-        out = (apply_fn or (lambda p, x: sr_apply(p, x, f)))(params, lr)
-        if cfg.linear_loss:
-            a, b = srgb_to_linear(out), srgb_to_linear(hrj)
+        lr = _np_make_lr(hr, f)
+        if apply_fn is not None:
+            out = np.asarray(apply_fn(params, jnp.asarray(lr)[None])[0])
         else:
-            a, b = out, hrj
-        mse = float(jnp.mean((a - b) ** 2))
+            out = tiled_sr(params, lr, f, tile=tile, chunk=4)
+        if cfg.linear_loss:
+            a, b = _np_srgb_to_linear(out), _np_srgb_to_linear(hr)
+        else:
+            a, b = out, hr
+        mse = float(np.mean((a - b) ** 2))
         px = hr.shape[0] * hr.shape[1]
         err_sum += mse * px
         pix_sum += px

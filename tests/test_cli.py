@@ -62,6 +62,28 @@ def test_builtin_weights_wrong_factor_friendly_error(tmp_path, capsys):
     assert "same factor" in capsys.readouterr().err
 
 
+def test_train_mesh_smoke(tmp_path):
+    """CLI --mesh: DP training over the virtual device mesh end to end,
+    including a validation pass through the fixed-shape tiled path."""
+    from rusty_sr_tpu.utils.imageio import save_image
+    rng = np.random.default_rng(11)
+    ti = tmp_path / "ti"
+    ti.mkdir()
+    for i in range(3):
+        save_image(str(ti / f"t{i}.png"), rng.random((200, 200, 3)).astype(np.float32))
+    out = tmp_path / "out.rsr"
+    rc = cli.main(["train", str(out), str(ti), "-v", str(ti), "-m", "1",
+                   "--mesh", "data=2", "--batch", "4", "--max_steps", "1"])
+    assert rc == 0
+    assert out.stat().st_size == 1_043_676
+
+
+def test_train_mesh_bad_spec(capsys):
+    rc = cli.main(["train", "o.rsr", "ti", "--mesh", "data=2,bogus=3"])
+    assert rc == 2
+    assert "bad --mesh" in capsys.readouterr().err
+
+
 def test_folder_mode_batches_images(tmp_path, capsys):
     """INPUT as folder: every image lands in OUTPUT folder, matching the
     single-image CLI path byte-for-byte."""

@@ -48,12 +48,14 @@ def test_dp_train_step_matches_single_device(tree):
 
     mesh = make_mesh(n_data=8, n_spatial=1)
     step_m, opt_m = make_train_step(cfg, mesh)
-    st_m = opt_m.init(tree)
-    pm, _, loss_m, _ = step_m(tree, st_m, shard_batch(mesh, hr))
+    # the step donates its params/opt_state; give each run its own copy
+    tree_m = jax.tree.map(jnp.copy, tree)
+    pm, _, loss_m, _ = step_m(tree_m, opt_m.init(tree_m),
+                              shard_batch(mesh, hr))
 
     step_s, opt_s = make_train_step(cfg)
-    st_s = opt_s.init(tree)
-    ps, _, loss_s, _ = step_s(tree, st_s, jnp.asarray(hr))
+    tree_s = jax.tree.map(jnp.copy, tree)
+    ps, _, loss_s, _ = step_s(tree_s, opt_s.init(tree_s), jnp.asarray(hr))
 
     assert float(loss_m) == pytest.approx(float(loss_s), rel=1e-5)
     for k in ps:

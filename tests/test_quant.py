@@ -1,4 +1,4 @@
-"""Int8 trunk tier: quality bounds vs the exact path."""
+"""Int8 trunk tier v2 (calibrated per-channel scales): quality bounds."""
 
 import numpy as np
 import jax
@@ -7,7 +7,8 @@ import pytest
 
 from rusty_sr_tpu import load_builtin, sr_apply
 from rusty_sr_tpu.models.sr_net import merge_params
-from rusty_sr_tpu.models.quant import quantize_trunk, sr_apply_q8
+from rusty_sr_tpu.models.quant import (
+    calibrate_act_scales, quantize_trunk, sr_apply_q8)
 from rusty_sr_tpu.utils.imageio import load_image, to_u8, psnr
 
 
@@ -16,27 +17,85 @@ def anime():
     return {k: jnp.asarray(v) for k, v in load_builtin("anime").items()}
 
 
-def test_int8_quality_floor(anime):
-    """Opt-in throughput tier: must stay >= 40 dB parity to the exact
-    output (measured ~45 dB; visually transparent, but above the 0.05 dB
-    Set14 budget — hence not the default fast mode)."""
-    q = quantize_trunk(merge_params(anime))
+@pytest.fixture(scope="module")
+def anime_q(anime):
+    m = merge_params(anime)
+    lr = load_image("/root/reference/docs/cartoon_lr.png")[None]
+    return quantize_trunk(m, calibrate_act_scales(m, lr))
+
+
+def test_int8_quality_floor(anime, anime_q):
+    """Promoted throughput tier (VERDICT round-1 item 3; v1's per-tensor
+    dynamic scales managed 45 dB).  Measured: cartoon 54.6, butterfly 57.8
+    — the fake-quant CEILING of int8 activations at calibrated ranges is
+    54.1 dB (55.4 with conv10 kept bf16, which is the shipped scheme), so
+    per-image floors are 54 with a >= 55 golden-set mean."""
+    dbs = []
+    for img in ("cartoon_lr", "butterfly_lr"):
+        lr = load_image(f"/root/reference/docs/{img}.png")[None]
+        m = merge_params(anime)
+        q = quantize_trunk(m, calibrate_act_scales(m, lr))
+        out_q = np.asarray(jax.jit(lambda q_, x: sr_apply_q8(q_, x, 3))(
+            q, jnp.asarray(lr))[0], np.float32)
+        out_f = np.asarray(jax.jit(lambda p, x: sr_apply(p, x, 3))(
+            anime, jnp.asarray(lr))[0])
+        db = psnr(to_u8(out_q) / 255.0, to_u8(out_f) / 255.0)
+        assert db >= 54.0, f"int8 tier degraded on {img}: {db:.2f} dB vs exact"
+        dbs.append(db)
+    mean = sum(dbs) / len(dbs)
+    assert mean >= 55.0, f"int8 golden-set mean degraded: {mean:.2f} dB"
+
+
+def test_int8_cross_image_calibration(anime):
+    """Scales calibrated on one image must transfer to another (saturating
+    clip + 5% margin bound the damage): >= 45 dB vs exact off-sample."""
+    m = merge_params(anime)
+    calib = load_image("/root/reference/docs/butterfly_lr.png")[None]
+    q = quantize_trunk(m, calibrate_act_scales(m, calib))
     lr = load_image("/root/reference/docs/cartoon_lr.png")[None]
     out_q = np.asarray(jax.jit(lambda q_, x: sr_apply_q8(q_, x, 3))(
-        q, jnp.asarray(lr))[0])
+        q, jnp.asarray(lr))[0], np.float32)
     out_f = np.asarray(jax.jit(lambda p, x: sr_apply(p, x, 3))(
         anime, jnp.asarray(lr))[0])
     db = psnr(to_u8(out_q) / 255.0, to_u8(out_f) / 255.0)
-    assert db >= 40.0, f"int8 tier degraded: {db:.2f} dB vs exact"
+    assert db >= 45.0, f"off-sample int8 degraded: {db:.2f} dB vs exact"
 
 
-def test_int8_weights_roundtrip(anime):
-    q = quantize_trunk(merge_params(anime))
-    for name in ("convA", "convB", "convC", "conv10"):
-        wq = np.asarray(q[name + "_q"], np.int32)
-        assert wq.min() >= -127 and wq.max() <= 127
-        # dequantised weights close to original (per-channel 8-bit)
-        w = np.asarray(merge_params(anime)[name], np.float32)
-        back = wq * np.asarray(q[name + "_s"])
+def test_int8_weights_roundtrip(anime, anime_q):
+    """Double-dot weight quantisation reconstructs the scale-folded
+    weights to ~15-bit accuracy; zero-points land on integer codes."""
+    m = merge_params(anime)
+    for name, stage in (("convA", "f"), ("convB", "l1"), ("convC", "l2")):
+        wq1 = np.asarray(anime_q[name + "_q1"], np.int32)
+        assert wq1.min() >= -127 and wq1.max() <= 127
+        s = 1.0 / np.asarray(anime_q[stage + "_invs"])
+        w = np.asarray(m[name], np.float32) * s[None, None, :, None]
+        back = (wq1 * np.asarray(anime_q[name + "_s1"]) +
+                np.asarray(anime_q[name + "_q2"], np.int32)
+                * np.asarray(anime_q[name + "_s2"]))
         rel = np.abs(back - w).max() / np.abs(w).max()
-        assert rel < 0.005
+        assert rel < 5e-5
+        z = np.asarray(anime_q[stage + "_z"])
+        assert np.array_equal(z, np.round(z))
+        assert z.min() >= -127 and z.max() <= 127
+    # conv10 stays high-precision (bf16): quality ceiling +1.3 dB
+    assert anime_q["conv10"].dtype == jnp.bfloat16
+
+
+def test_int8_tiled_engine_matches_whole(anime):
+    """engine='int8' through tiled_sr: tiles+masks must reproduce the
+    whole-image q8 result to within quantisation noise, u8 and f32."""
+    from rusty_sr_tpu.parallel.tiling import tiled_sr
+    img = load_image("/root/reference/docs/cartoon_lr.png")
+    got = tiled_sr(anime, img, 3, tile=50, chunk=3, engine="int8")
+    m = merge_params(anime)
+    q = quantize_trunk(m, calibrate_act_scales(m, jnp.asarray(img)[None]))
+    want = np.asarray(jax.jit(lambda q_, x: sr_apply_q8(q_, x, 3))(
+        q, jnp.asarray(img)[None])[0], np.float32)
+    # calibration samples differ (first tile chunk vs whole image) and the
+    # trunk is quantised — compare in dB, not bitwise
+    assert psnr(np.clip(got, 0, 1), np.clip(want, 0, 1)) > 50.0
+    got_u8 = tiled_sr(anime, (img * 255).round().astype(np.uint8), 3,
+                      tile=50, chunk=3, engine="int8")
+    assert got_u8.dtype == np.uint8
+    assert psnr(got_u8 / 255.0, np.clip(want, 0, 1)) > 50.0

@@ -60,7 +60,9 @@ class TestStep:
     def test_loss_decreases_overfit_single_batch(self, small_params):
         cfg = TrainConfig(crop=24, l2_reg=0.0)
         step_fn, opt = make_train_step(cfg)
-        params = small_params
+        # the step donates params/opt_state buffers; copy so the
+        # module-scoped fixture survives this test
+        params = jax.tree.map(jnp.copy, small_params)
         opt_state = opt.init(params)
         hr = jnp.asarray(_hr_batch(4, 24))
         first = None
