@@ -1,9 +1,11 @@
 """Headline benchmark: sustained SR throughput (HR megapixels/sec/chip).
 
-Runs the flagship 3x SR network (the reference's only model,
-src/network.rs:16-109) on device-resident NHWC tile batches and measures
-steady-state throughput of the jitted forward path, the same path
-`tiled_sr` dispatches for large-image inference.
+Times the PRODUCT device path — the merged-conv overlap-tile kernel with
+u8 device I/O that `tiled_sr` (and therefore the CLI) dispatches — at its
+best measured shape (tile=242 -> 256-wide lane-aligned padded tiles,
+batch 16; scripts/perf_probe14.py).  Throughput counts only the useful
+(de-haloed) HR output pixels, so this is the rate a user's pixels are
+actually produced at, not a raw-FLOP number.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is the fraction of the 1 GPix/s-per-chip north-star target
@@ -24,17 +26,22 @@ import jax.numpy as jnp
 
 def main():
     from rusty_sr_tpu import load_builtin
-    from rusty_sr_tpu.models.sr_net import sr_apply_fused, merge_params
+    from rusty_sr_tpu.parallel.tiling import _tile_kernel, trunk_params, HALO
 
     factor = 3
-    batch, side = 16, 256  # best-measured shape (scripts/perf_probe7.py)
-    params = merge_params(
+    tile, batch = 242, 16  # best measured (scripts/perf_probe14.py)
+    side = tile + 2 * HALO
+    params = trunk_params(
         {k: jnp.asarray(v) for k, v in load_builtin("imagenet").items()})
-    x = jnp.asarray(np.random.default_rng(0).random(
-        (batch, side, side, 3), dtype=np.float32))
 
-    # Throughput mode: bf16 trunk with merged same-source convs (explicit
-    # opt-in; parity mode is f32 and is what the golden tests gate on).
+    rng = np.random.default_rng(0)
+    z = jnp.asarray((rng.random((batch, side, side, 3)) * 255)
+                    .astype(np.uint8))
+    e = z
+    m = jnp.asarray(np.ones((batch, side, side, 1), np.uint8))
+
+    # Throughput mode: bf16 trunk (explicit opt-in; parity mode is f32 and
+    # is what the golden tests gate on).
     #
     # The timed loop is a lax.fori_loop *inside* jit with a data dependency
     # between iterations (each iteration consumes the previous output), so
@@ -42,33 +49,33 @@ def main():
     # loops measure only tunnel/dispatch latency on this backend.
     iters = 20
 
-    def one_pass(b):
-        out = sr_apply_fused(params, b, factor, compute_dtype=jnp.bfloat16)
-        # fold the HR output back to LR size to carry the dependency
-        return out[:, :side, :side, :] * 1e-6 + x
+    def one_pass(zz):
+        out = _tile_kernel(params, zz, e, m, factor, tile, jnp.bfloat16, True)
+        # fold the HR u8 output back into the u8 input for the dependency
+        return jnp.bitwise_xor(out[:, :side, :side, :], zz)
 
     @jax.jit
-    def chained(b):
-        return jax.lax.fori_loop(0, iters, lambda i, c: one_pass(c), b)
+    def chained(zz):
+        return jax.lax.fori_loop(0, iters, lambda i, c: one_pass(c), zz)
 
-    jax.block_until_ready(chained(x))  # compile + warm-up
+    jax.block_until_ready(chained(z))  # compile + warm-up
 
-    hr_mpix = batch * side * side * factor * factor / 1e6
+    useful_hr_mpix = batch * (tile * factor) ** 2 / 1e6
     best = 0.0
     for r in range(3):
         # vary the input per round: repeated identical dispatches can be
         # served from a result cache on this backend
-        xr = x * (1.0 + 1e-4 * (r + 1))
-        jax.block_until_ready(xr)
+        zr = jnp.asarray((np.asarray(z) + r + 1).astype(np.uint8))
+        jax.block_until_ready(zr)
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(xr))
+        jax.block_until_ready(chained(zr))
         dt = time.perf_counter() - t0
-        best = max(best, iters * hr_mpix / dt)
+        best = max(best, iters * useful_hr_mpix / dt)
 
     print(json.dumps({
-        "metric": "sr3x_throughput",
+        "metric": "sr3x_tiled_throughput",
         "value": round(best, 2),
-        "unit": "HR megapixels/sec/chip",
+        "unit": "useful HR megapixels/sec/chip",
         "vs_baseline": round(best / 1000.0, 4),
     }))
 

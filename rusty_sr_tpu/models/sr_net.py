@@ -107,13 +107,17 @@ def sr_apply_fused(mparams, x: jnp.ndarray, factor: int = 3, *,
         if compute_dtype is not None:
             if native and conv_fn is None:
                 # conv0 reads the raw image: rounding it to bf16 costs
-                # 3.4 dB for 1.8% of FLOPs, so it runs f32 operands at
-                # Precision.HIGH via the native emitter (the im2col concat
-                # of a 3-channel input replicates it 25x at T(4,128)
-                # tiling; scripts/perf_probe13.py).
-                from jax import lax as _lax
+                # 3.4 dB for 1.8% of FLOPs.  Exact two-term bf16 split of
+                # the input (h = hi + lo exactly) recovers +1.7 dB for one
+                # extra cheap conv0 pass; the native emitter avoids the
+                # 25x im2col replication of a 3-channel input
+                # (scripts/perf_probe13.py; Precision.HIGH measured -29%).
                 from rusty_sr_tpu.ops.conv import _conv_native
-                return _conv_native(h, w, jnp.float32, _lax.Precision.HIGH)
+                wb = w.astype(compute_dtype)
+                hi = h.astype(compute_dtype)
+                lo = (h - hi.astype(jnp.float32)).astype(compute_dtype)
+                return (_conv_native(hi, wb, jnp.float32, None)
+                        + _conv_native(lo, wb, jnp.float32, None))
             w = w.astype(compute_dtype)
             h = h.astype(compute_dtype)
         return _conv(h, w)

@@ -87,7 +87,11 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
     from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
     from rusty_sr_tpu.ops.resize import bilinear_phases
 
+    from rusty_sr_tpu.ops.conv import _conv_native
+
     h = HALO
+    p = params
+    zero_u8 = zero_tiles if u8_io else None
     if u8_io:
         zero_tiles = zero_tiles.astype(jnp.float32) * (1.0 / 255.0)
         edge_tiles = edge_tiles.astype(jnp.float32) * (1.0 / 255.0)
@@ -95,27 +99,46 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
     x = zero_tiles
     mask = mask_tiles
 
-    def cv(t, name, native=False):
-        w = params[name]
+    def cv(t, name):
+        w = p[name]
         if compute_dtype is not None:
-            if native:
-                # conv0 reads the RAW IMAGE: rounding it to bf16 costs the
-                # fast tier 3.4 dB for 1.8% of FLOPs, so conv0 runs f32 at
-                # Precision.HIGH (3-pass bf16, captures the full f32 gain)
-                # through the native emitter (the im2col concat of a
-                # 3-channel input replicates it 25x at T(4,128) tiling;
-                # scripts/perf_probe13.py / quality notes in git history).
-                from jax import lax
-                from rusty_sr_tpu.ops.conv import _conv_native
-                return _conv_native(t, w, jnp.float32, lax.Precision.HIGH)
             w = w.astype(compute_dtype)
             t = t.astype(compute_dtype)
+            if name == "convA":
+                # The 5x5 merged stage replicates its input 25x as im2col
+                # patches (3.4 GB write+read per 16x256^2 pass) — the
+                # native MXU conv emitter wins there (+8%, probe17); the
+                # 3x3 stages (9x replication) stay im2col (native measured
+                # slower for them: probes 17 / round-1 mixes).
+                return _conv_native(t, w, jnp.float32, None)
         return conv2d_same(t, w)
 
-    p = params
+    def conv0(t):
+        """conv0 reads the RAW IMAGE — rounding it to bf16 costs the fast
+        tier 3.4 dB for 1.8% of FLOPs (measured; see git history).  The
+        native emitter is used because the im2col concat of a 3-channel
+        input replicates it 25x at T(4,128) tiling (perf_probe13)."""
+        if compute_dtype is None:
+            return conv2d_same(t, p["conv0"])           # exact f32 path
+        if zero_u8 is not None:
+            # u8 codes k: k/256 is EXACT in bf16 (8 significand bits), so
+            # feed k*2^-8 and fold the 256/255 factor into the weights —
+            # zero input-rounding error at zero extra cost (+1.9 dB).
+            t8 = zero_u8.astype(compute_dtype) * jnp.asarray(
+                2.0 ** -8, compute_dtype)
+            w0 = (p["conv0"] * (256.0 / 255.0)).astype(compute_dtype)
+            return _conv_native(t8, w0, jnp.float32, None)
+        # f32 inputs: exact two-term bf16 split of the image (x = hi + lo
+        # exactly), two cheap conv0 passes instead of one (+1.7 dB).
+        w0 = p["conv0"].astype(compute_dtype)
+        hi = t.astype(compute_dtype)
+        lo = (t - hi.astype(jnp.float32)).astype(compute_dtype)
+        return (_conv_native(hi, w0, jnp.float32, None)
+                + _conv_native(lo, w0, jnp.float32, None))
+
     n = p["f_bias"].shape[0]
     e = p["expand_bias"].shape[0]
-    f_ = mask * belu(cv(x, "conv0", native=True) + p["f_bias"], p["f_belu"])
+    f_ = mask * belu(conv0(x) + p["f_bias"], p["f_belu"])
     a = cv(f_, "convA")                                  # conv1|conv2|conv3
     l1 = mask * belu(a[..., :n] + p["l1_bias"], p["l1_belu"])
     b = cv(l1, "convB")                                  # conv5|conv6|conv7
