@@ -29,7 +29,7 @@ def main():
     from rusty_sr_tpu.parallel.tiling import _tile_kernel, trunk_params, HALO
 
     factor = 3
-    tile, batch = 242, 16  # best measured (scripts/perf_probe14.py)
+    tile, batch = 242, 24  # best measured (scripts/perf_probe14,17-19)
     side = tile + 2 * HALO
     params = trunk_params(
         {k: jnp.asarray(v) for k, v in load_builtin("imagenet").items()})

@@ -41,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="upscale factor (reference hardcodes 3; custom weights must match)")
     p.add_argument("--tile", type=int, default=242,
                    help="LR tile size for overlap-tile inference")
-    p.add_argument("--chunk", type=int, default=8,
+    p.add_argument("--chunk", type=int, default=24,
                    help="tiles per device dispatch")
     p.add_argument("--fast", action="store_true",
                    help="bf16 conv trunk (higher throughput, ~1 code max deviation)")
@@ -147,6 +147,10 @@ def run_upscale(args) -> int:
             loader = lambda: params_lib.load_builtin(name, args.factor)  # noqa: E731
         try:
             tree = loader()
+        except OSError as e:
+            # reference: expect("Error opening parameter file"), src/main.rs:134
+            print(f"\nError opening parameter file: {e}", file=sys.stderr)
+            return 1
         except ValueError as e:
             # reference: assert at src/main.rs:162 — also hit for builtin
             # weights with a non-default -f (the builtins are factor-3).
@@ -161,7 +165,12 @@ def run_upscale(args) -> int:
                            chunk=args.chunk, compute_dtype=compute_dtype,
                            engine=args.engine)
             print(" Writing file...", end="", flush=True)
-            save_image_u8(args.OUTPUT_FILE, out)
+            try:
+                save_image_u8(args.OUTPUT_FILE, out)
+            except OSError as e:
+                # reference: expect("Could not write output file"), :175
+                print(f"\nCould not write output file: {e}", file=sys.stderr)
+                return 1
             print(" Done")
             return 0
         img = img_u8.astype(np.float32) / 255.0
@@ -169,7 +178,12 @@ def run_upscale(args) -> int:
                        compute_dtype=compute_dtype, engine=args.engine)
 
     print(" Writing file...", end="", flush=True)
-    save_image(args.OUTPUT_FILE, out)
+    try:
+        save_image(args.OUTPUT_FILE, out)
+    except OSError as e:
+        # reference: expect("Could not write output file"), src/main.rs:175
+        print(f"\nCould not write output file: {e}", file=sys.stderr)
+        return 1
     print(" Done")
     return 0
 
@@ -290,7 +304,16 @@ def run_train(args) -> int:
 
     start = None
     if args.start:
-        start = params_lib.load_rsr_file(args.start, cfg.factor)
+        try:
+            start = params_lib.load_rsr_file(args.start, cfg.factor)
+        except OSError as e:
+            # reference: expect("Error opening start parameter file"), :191
+            print(f"Error opening start parameter file: {e}", file=sys.stderr)
+            return 1
+        except ValueError as e:
+            print(f"error: {e}. Ensure the start parameters were trained "
+                  "with the same factor.", file=sys.stderr)
+            return 1
 
     val_images = None
     if args.val_folder:
@@ -313,6 +336,14 @@ def run_train(args) -> int:
                    param_file=args.PARAMETER_FILE, val_images=val_images,
                    max_steps=args.max_steps, metrics_file=args.metrics,
                    native_ckpt_dir=args.ckpt_dir, mesh=mesh)
+    except OSError as e:
+        # reference: expect("Could not make parameter file"), src/main.rs:212
+        print(f"Could not make parameter file: {e}", file=sys.stderr)
+        return 1
+    except RuntimeError as e:
+        # e.g. every training image unreadable (train/data.py)
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     finally:
         buf.close()
     print("Done")

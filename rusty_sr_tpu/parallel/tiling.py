@@ -234,7 +234,7 @@ def _scatter_u8(res: np.ndarray, start: int, nx: int, tf: int, out: np.ndarray):
 
 
 def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
-                   chunk: int = 8, compute_dtype=None,
+                   chunk: int = 24, compute_dtype=None,
                    device_put: Callable = jax.device_put) -> list:
     """Upscale a list of images, batching tiles ACROSS images.
 
@@ -314,7 +314,7 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
 
 
 def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
-             chunk: int = 8, compute_dtype=None, engine: str = "xla",
+             chunk: int = 24, compute_dtype=None, engine: str = "xla",
              rh: int = 16, packed=None,
              device_put: Callable = jax.device_put) -> np.ndarray:
     """Upscale (H,W,3) f32 by ``factor`` exactly, any size, one executable.

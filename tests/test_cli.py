@@ -62,6 +62,50 @@ def test_builtin_weights_wrong_factor_friendly_error(tmp_path, capsys):
     assert "same factor" in capsys.readouterr().err
 
 
+def test_error_message_parity(tmp_path, capsys):
+    """Reference expect() strings (src/main.rs:134,175,191,212) map to
+    clean messages + rc 1, never tracebacks."""
+    from rusty_sr_tpu.utils.imageio import save_image
+    src = tmp_path / "in.png"
+    save_image(str(src), np.random.default_rng(0).random((6, 5, 3)).astype(np.float32))
+
+    # missing custom parameter file
+    rc = cli.main(["--platform", "cpu", "-c", "/missing.rsr",
+                   str(src), str(tmp_path / "o.png")])
+    assert rc == 1
+    assert "Error opening parameter file" in capsys.readouterr().err
+
+    # unwritable output file
+    rc = cli.main(["--platform", "cpu", "-p", "bilinear", str(src),
+                   str(tmp_path / "no_dir" / "o.png")])
+    assert rc == 1
+    assert "Could not write output file" in capsys.readouterr().err
+
+    # missing --start file for train
+    ti = tmp_path / "ti"
+    ti.mkdir()
+    save_image(str(ti / "a.png"), np.random.default_rng(1).random((30, 30, 3)).astype(np.float32))
+    rc = cli.main(["train", str(tmp_path / "o.rsr"), str(ti),
+                   "-s", "/missing.rsr", "--platform", "cpu"])
+    assert rc == 1
+    assert "Error opening start parameter file" in capsys.readouterr().err
+
+    # unwritable PARAMETER_FILE
+    rc = cli.main(["train", str(tmp_path / "no_dir" / "o.rsr"), str(ti),
+                   "--max_steps", "1", "--platform", "cpu"])
+    assert rc == 1
+    assert "Could not make parameter file" in capsys.readouterr().err
+
+    # undecodable training folder
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "x.png").write_bytes(b"junk")
+    rc = cli.main(["train", str(tmp_path / "o2.rsr"), str(bad),
+                   "--max_steps", "1", "--platform", "cpu"])
+    assert rc == 1
+    assert "could be decoded" in capsys.readouterr().err
+
+
 def test_train_mesh_smoke(tmp_path):
     """CLI --mesh: DP training over the virtual device mesh end to end,
     including a validation pass through the fixed-shape tiled path."""
