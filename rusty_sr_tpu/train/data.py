@@ -44,10 +44,24 @@ class ImageFolderSupplier:
 
     def __init__(self, folder: str, recurse: bool = False,
                  crop: Optional[tuple] = None, shuffle: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, shard_across_hosts: Optional[bool] = None,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.files = list_images(folder, recurse)
         if not self.files:
             raise ValueError(f"no images found in {folder!r}")
+        # Multi-host runs (jax.distributed) stripe the *training* files so
+        # each host feeds its local shard of the global batch over DCN;
+        # sequential (validation) suppliers keep the full set so every
+        # host reports the same PSNR.  Defaults on for shuffle suppliers.
+        if shard_across_hosts is None:
+            shard_across_hosts = shuffle
+        if shard_across_hosts:
+            stripe = shard_files_for_host(self.files, process_index,
+                                          process_count)
+            # a stripe can be empty when hosts > files; duplicate rather
+            # than starve the host (training still sees every file)
+            self.files = stripe if stripe else self.files
         self.crop = crop
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)

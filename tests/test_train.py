@@ -161,6 +161,33 @@ class TestData:
         finally:
             buf.close()
 
+    def test_multihost_striping(self, tmp_path):
+        """Training suppliers stripe files across hosts (SURVEY.md §2.4
+        multi-host input sharding); validation suppliers keep every file
+        so all hosts agree on the PSNR; a starved stripe (hosts > files)
+        falls back to the full set instead of raising."""
+        from rusty_sr_tpu.train.data import (ImageFolderSupplier,
+                                             shard_files_for_host)
+        from rusty_sr_tpu.utils.imageio import save_image
+        for i in range(5):
+            save_image(str(tmp_path / f"img{i}.png"),
+                       RNG.random((8, 8, 3)).astype(np.float32))
+        s0 = ImageFolderSupplier(str(tmp_path), shuffle=True, crop=(4, 4),
+                                 process_index=0, process_count=2)
+        s1 = ImageFolderSupplier(str(tmp_path), shuffle=True, crop=(4, 4),
+                                 process_index=1, process_count=2)
+        assert len(s0.files) == 3 and len(s1.files) == 2
+        assert not set(s0.files) & set(s1.files)
+        assert sorted(s0.files + s1.files) == \
+            sorted(shard_files_for_host(s0.files + s1.files, 0, 1))
+        val = ImageFolderSupplier(str(tmp_path), shuffle=False,
+                                  process_index=1, process_count=2)
+        assert len(val.files) == 5  # sequential: full set on every host
+        starved = ImageFolderSupplier(str(tmp_path), shuffle=True,
+                                      crop=(4, 4),
+                                      process_index=7, process_count=8)
+        assert len(starved.files) == 5  # fallback, not an empty epoch
+
     def test_buffer_shutdown_never_wedges(self, tmp_path):
         """close() with a full queue and an unread sentinel must let the
         worker exit, and next_batch() after close() must return None."""
