@@ -59,15 +59,11 @@ def upsample_bilinear(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     return _upsample_axis(_upsample_axis(x, factor, 1), factor, 2)
 
 
-def _phase_taps(x: jnp.ndarray, f: int, axis: int):
-    """Per-phase 2-tap (lo, hi, w) views along `axis` (edge-padded)."""
-    n = x.shape[axis]
-    xe = jnp.concatenate(
-        [lax.slice_in_dim(x, 0, 1, axis=axis), x,
-         lax.slice_in_dim(x, n - 1, n, axis=axis)], axis=axis)
-
+def _phase_taps_padded(xe: jnp.ndarray, f: int, axis: int, n: int):
+    """Per-phase 2-tap (lo, hi, w) length-n views of an axis that already
+    carries one extra sample on each side (xe.shape[axis] == n + 2)."""
     def slc(start):
-        idx = [slice(None)] * x.ndim
+        idx = [slice(None)] * xe.ndim
         idx[axis] = slice(start, start + n)
         return xe[tuple(idx)]
 
@@ -78,6 +74,15 @@ def _phase_taps(x: jnp.ndarray, f: int, axis: int):
         w = np.float32(alpha - d)
         out.append((slc(1 + d), slc(2 + d), w))
     return out
+
+
+def _phase_taps(x: jnp.ndarray, f: int, axis: int):
+    """Per-phase 2-tap (lo, hi, w) views along `axis` (edge-padded)."""
+    n = x.shape[axis]
+    xe = jnp.concatenate(
+        [lax.slice_in_dim(x, 0, 1, axis=axis), x,
+         lax.slice_in_dim(x, n - 1, n, axis=axis)], axis=axis)
+    return _phase_taps_padded(xe, f, axis, n)
 
 
 def bilinear_phases(x: jnp.ndarray, factor: int) -> jnp.ndarray:
@@ -97,6 +102,42 @@ def bilinear_phases(x: jnp.ndarray, factor: int) -> jnp.ndarray:
         for lo_c, hi_c, wc in _phase_taps(xr, factor, 2):
             blocks.append(lo_c * (1.0 - wc) + hi_c * wc if wc != 0.0 else lo_c)
     return jnp.concatenate(blocks, axis=-1)
+
+
+def bilinear_phases_cropped(x: jnp.ndarray, factor: int,
+                            y0: int, x0: int, size: int) -> jnp.ndarray:
+    """``bilinear_phases(x, f)[:, y0:y0+size, x0:x0+size, :]``, computed
+    in a channels-OUTER (N,C,H,W) layout and pre-cropped to the
+    ``size+2`` input window the 2-tap filters actually read.
+
+    With C=3 in the minor dim the phase FMAs use 3/128 VPU lanes; moving
+    W into lanes and cropping before (not after) the phase math measured
+    5.47 -> ~0.9 ms per B=24 pass on v5e (scripts/perf_probe21/22.py).
+    Element-wise the operations are identical, so results are
+    bit-identical to the uncropped NHWC form.
+
+    Requires an interior crop (``y0, x0 >= 1`` and one sample of margin
+    on the far side) — true for the overlap-tile kernel, whose halo is
+    the trunk receptive field (>= 1).  The interp taps then never hit
+    the tile's edge-clamp, which is what makes the crop commute with the
+    phase computation.
+    """
+    f = factor
+    n, hgt, wid, c = x.shape
+    if not (y0 >= 1 and x0 >= 1 and y0 + size + 1 <= hgt
+            and x0 + size + 1 <= wid):
+        return bilinear_phases(x, f)[:, y0:y0 + size, x0:x0 + size, :]
+    xt = jnp.transpose(x[:, y0 - 1:y0 + size + 1, x0 - 1:x0 + size + 1, :],
+                       (0, 3, 1, 2))                 # (N,C,size+2,size+2)
+    blocks = []
+    for lo_r, hi_r, wr in _phase_taps_padded(xt, f, 2, size):
+        xr = lo_r * (1.0 - wr) + hi_r * wr if wr != 0.0 else lo_r
+        for lo_c, hi_c, wc in _phase_taps_padded(xr, f, 3, size):
+            blocks.append(lo_c * (1.0 - wc) + hi_c * wc
+                          if wc != 0.0 else lo_c)
+    ph = jnp.stack(blocks, axis=-1)                  # (N,C,size,size,f*f)
+    return jnp.transpose(ph, (0, 2, 3, 4, 1)).reshape(n, size, size,
+                                                      f * f * c)
 
 
 def avg_pool(x: jnp.ndarray, factor: int) -> jnp.ndarray:

@@ -48,6 +48,46 @@ from rusty_sr_tpu.utils import native
 # test; SURVEY.md §7 item 5 and tests/test_tiling.py).
 HALO = 7
 
+# Static index maps for the space-to-depth conv0 lowering (see
+# _conv0_s2d_weights): u = 2*ap + by - fy, v = 2*bp + bx - fx.
+def _s2d_index_maps():
+    uu = np.zeros((3, 3, 4, 4), np.int32)
+    vv = np.zeros((3, 3, 4, 4), np.int32)
+    ok = np.zeros((3, 3, 4, 4), np.float32)
+    for ap in range(3):
+        for bp in range(3):
+            for by in range(2):
+                for bx in range(2):
+                    for fy in range(2):
+                        for fx in range(2):
+                            g, ff = by * 2 + bx, fy * 2 + fx
+                            u, v = 2 * ap + by - fy, 2 * bp + bx - fx
+                            uu[ap, bp, g, ff] = min(max(u, 0), 4)
+                            vv[ap, bp, g, ff] = min(max(v, 0), 4)
+                            ok[ap, bp, g, ff] = float(0 <= u <= 4
+                                                      and 0 <= v <= 4)
+    return uu, vv, ok
+
+
+_S2D_UU, _S2D_VV, _S2D_OK = _s2d_index_maps()
+
+
+def _conv0_s2d_weights(w0):
+    """(5,5,3,32) conv0 -> (3,3,12,128) on the 2x2 space-to-depth grid.
+
+    Cin=3 strands 125/128 MXU lanes and makes conv0 the single biggest
+    line item of the pass (6.08 of 27.4 ms, scripts/perf_probe20.py).
+    Packing 2x2 LR blocks into 12 channels turns it into a half-
+    resolution 3x3x12->128 conv (K=108, N=128): out phase (fy,fx) at
+    packed tap (ap,bp), block phase (by,bx) reads original tap
+    u = 2*ap+by-fy, v = 2*bp+bx-fx (zero where outside the 5x5 support;
+    derivation: in-row offset fy+u-2 = 2*(ap-1)+by).  Pure re-indexing —
+    same products, bit-class-identical accumulation.
+    """
+    ci, co = w0.shape[2], w0.shape[3]
+    wg = w0[_S2D_UU, _S2D_VV] * _S2D_OK[..., None, None]  # (3,3,4,4,ci,co)
+    return wg.transpose(0, 1, 2, 4, 3, 5).reshape(3, 3, 4 * ci, 4 * co)
+
 
 def trunk_params(params):
     """Exactly the (merged-conv) keys `_tile_kernel` consumes.
@@ -85,7 +125,7 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
     from rusty_sr_tpu.ops.activations import belu
     from rusty_sr_tpu.ops.conv import conv2d_same
     from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
-    from rusty_sr_tpu.ops.resize import bilinear_phases
+    from rusty_sr_tpu.ops.resize import bilinear_phases_cropped
 
     from rusty_sr_tpu.ops.conv import _conv_native
 
@@ -113,32 +153,55 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
                 return _conv_native(t, w, jnp.float32, None)
         return conv2d_same(t, w)
 
-    def conv0(t):
-        """conv0 reads the RAW IMAGE — rounding it to bf16 costs the fast
-        tier 3.4 dB for 1.8% of FLOPs (measured; see git history).  The
-        native emitter is used because the im2col concat of a 3-channel
-        input replicates it 25x at T(4,128) tiling (perf_probe13)."""
+    def f_activation():
+        """Masked BeLU(conv0 + bias).  conv0 reads the RAW IMAGE — bf16-
+        rounding it costs the fast tier 3.4 dB for 1.8% of FLOPs, hence
+        the u8-exact (k/256 is exact in bf16, 256/255 folded into the
+        weights; +1.9 dB free) and two-term-split f32 variants.  On the
+        u8 fast path conv0 lowers via 2x2 space-to-depth: Cin=3 strands
+        125/128 MXU lanes and made conv0 the biggest line item of the
+        pass (6.08 of 27.4 ms); the packed 3x3x12->128 form with bias+
+        BeLU applied in packed space and a bf16 unpack measured 524.6 vs
+        483.6 MPix/s (scripts/perf_probe20-22.py)."""
+        b0, p0 = p["f_bias"], p["f_belu"]
         if compute_dtype is None:
-            return conv2d_same(t, p["conv0"])           # exact f32 path
+            return mask * belu(conv2d_same(x, p["conv0"]) + b0, p0)  # exact
+        if zero_u8 is not None and zero_u8.shape[1] % 2 == 0 \
+                and zero_u8.shape[2] % 2 == 0:
+            nb, sh, sw, ci = zero_u8.shape
+            w2 = _conv0_s2d_weights(
+                p["conv0"] * (256.0 / 255.0)).astype(compute_dtype)
+            s = zero_u8.reshape(nb, sh // 2, 2, sw // 2, 2, ci) \
+                .transpose(0, 1, 3, 2, 4, 5) \
+                .reshape(nb, sh // 2, sw // 2, 4 * ci)
+            t8 = s.astype(compute_dtype) * jnp.asarray(2.0 ** -8,
+                                                       compute_dtype)
+            o = _conv_native(t8, w2, jnp.float32, None)
+            fp = belu(o + jnp.tile(b0, 4),
+                      jnp.tile(p0, 4)).astype(compute_dtype)
+            no = b0.shape[0]
+            f_pre = fp.reshape(nb, sh // 2, sw // 2, 2, 2, no) \
+                .transpose(0, 1, 3, 2, 4, 5).reshape(nb, sh, sw, no)
+            return mask.astype(compute_dtype) * f_pre
         if zero_u8 is not None:
-            # u8 codes k: k/256 is EXACT in bf16 (8 significand bits), so
-            # feed k*2^-8 and fold the 256/255 factor into the weights —
-            # zero input-rounding error at zero extra cost (+1.9 dB).
+            # odd tile side: u8-exact native conv0 (no s2d)
             t8 = zero_u8.astype(compute_dtype) * jnp.asarray(
                 2.0 ** -8, compute_dtype)
             w0 = (p["conv0"] * (256.0 / 255.0)).astype(compute_dtype)
-            return _conv_native(t8, w0, jnp.float32, None)
+            return mask * belu(
+                _conv_native(t8, w0, jnp.float32, None) + b0, p0)
         # f32 inputs: exact two-term bf16 split of the image (x = hi + lo
         # exactly), two cheap conv0 passes instead of one (+1.7 dB).
         w0 = p["conv0"].astype(compute_dtype)
-        hi = t.astype(compute_dtype)
-        lo = (t - hi.astype(jnp.float32)).astype(compute_dtype)
-        return (_conv_native(hi, w0, jnp.float32, None)
-                + _conv_native(lo, w0, jnp.float32, None))
+        hi = x.astype(compute_dtype)
+        lo = (x - hi.astype(jnp.float32)).astype(compute_dtype)
+        c0 = (_conv_native(hi, w0, jnp.float32, None)
+              + _conv_native(lo, w0, jnp.float32, None))
+        return mask * belu(c0 + b0, p0)
 
     n = p["f_bias"].shape[0]
     e = p["expand_bias"].shape[0]
-    f_ = mask * belu(conv0(x) + p["f_bias"], p["f_belu"])
+    f_ = f_activation()
     a = cv(f_, "convA")                                  # conv1|conv2|conv3
     l1 = mask * belu(a[..., :n] + p["l1_bias"], p["l1_belu"])
     b = cv(l1, "convB")                                  # conv5|conv6|conv7
@@ -148,9 +211,10 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
                      + p["l3_bias"], p["l3_belu"])
     expand = (b[..., 2 * n:2 * n + e] + c[..., n:n + e] + cv(l3, "conv10")
               + p["expand_bias"])
-    # LR-space base (exact f32) + halo crop before the single HR-sized op.
-    base_ph = bilinear_phases(edge_tiles, factor)
-    total = base_ph[:, h:h + tile, h:h + tile, :] + \
+    # LR-space base (exact f32, channels-outer + pre-cropped — see
+    # bilinear_phases_cropped) + halo crop before the single HR-sized op.
+    base_ph = bilinear_phases_cropped(edge_tiles, factor, h, h, tile)
+    total = base_ph + \
         expand[:, h:h + tile, h:h + tile, :].astype(jnp.float32)
     if u8_io:
         total = jnp.floor(jnp.clip(total, 0.0, 1.0) * 255.0 + 0.5)
@@ -166,7 +230,7 @@ def _tile_kernel_q8(q, zero_tiles, edge_tiles, mask_tiles, factor: int,
     `_tile_kernel`; the trunk runs int8, base + final sum stay f32."""
     from rusty_sr_tpu.models.quant import q8_expand
     from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
-    from rusty_sr_tpu.ops.resize import bilinear_phases
+    from rusty_sr_tpu.ops.resize import bilinear_phases_cropped
 
     h = HALO
     if u8_io:
@@ -174,9 +238,8 @@ def _tile_kernel_q8(q, zero_tiles, edge_tiles, mask_tiles, factor: int,
         edge_tiles = edge_tiles.astype(jnp.float32) * (1.0 / 255.0)
         mask_tiles = mask_tiles.astype(jnp.float32)
     expand = q8_expand(q, zero_tiles, factor, mask=mask_tiles)
-    base_ph = bilinear_phases(edge_tiles, factor)
-    total = base_ph[:, h:h + tile, h:h + tile, :] + \
-        expand[:, h:h + tile, h:h + tile, :]
+    base_ph = bilinear_phases_cropped(edge_tiles, factor, h, h, tile)
+    total = base_ph + expand[:, h:h + tile, h:h + tile, :]
     if u8_io:
         total = jnp.floor(jnp.clip(total, 0.0, 1.0) * 255.0 + 0.5)
         return depth_to_space(total, factor).astype(jnp.uint8)
@@ -190,12 +253,12 @@ def _tile_kernel_fused(packed, zero_tiles, edge_tiles, mask_tiles,
     """Fused-Pallas engine: trunk in one kernel, base+shuffle in XLA."""
     from rusty_sr_tpu.ops.pallas.trunk import fused_trunk
     from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
-    from rusty_sr_tpu.ops.resize import bilinear_phases
+    from rusty_sr_tpu.ops.resize import bilinear_phases_cropped
 
     h = HALO
     expand = fused_trunk(packed, zero_tiles, mask_tiles, factor, rh=rh,
                          compute_dtype=compute_dtype)
-    base_ph = bilinear_phases(edge_tiles, factor)[:, h:h + tile, h:h + tile, :]
+    base_ph = bilinear_phases_cropped(edge_tiles, factor, h, h, tile)
     return depth_to_space(base_ph + expand, factor)
 
 

@@ -136,3 +136,31 @@ class TestAvgPool:
         out = np.asarray(avg_pool(jnp.asarray(x), 3))
         want = x.reshape(1, 2, 3, 3, 3, 3).mean(axis=(2, 4))
         np.testing.assert_allclose(out, want, rtol=2e-5, atol=1e-6)
+
+
+class TestBilinearPhases:
+    def test_phases_equal_upsample(self):
+        """depth_to_space(bilinear_phases(x,f), f) == upsample_bilinear."""
+        from rusty_sr_tpu.ops.resize import bilinear_phases
+        from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
+        x = RNG.random((2, 9, 11, 3)).astype(np.float32)
+        for f in (2, 3):
+            a = np.asarray(depth_to_space(bilinear_phases(jnp.asarray(x), f), f))
+            b = np.asarray(upsample_bilinear(jnp.asarray(x), f))
+            np.testing.assert_array_equal(a, b)
+
+    def test_cropped_phases_bit_identical(self):
+        """The channels-outer pre-cropped form must be BIT-identical to
+        crop-after-compute (same FMAs per element, different layout) —
+        both in the interior (fast path) and at clamped crops (fallback)."""
+        from rusty_sr_tpu.ops.resize import (bilinear_phases,
+                                             bilinear_phases_cropped)
+        x = jnp.asarray(RNG.random((2, 20, 22, 3)).astype(np.float32))
+        for f in (2, 3, 4):
+            full = np.asarray(bilinear_phases(x, f))
+            for (y0, x0, size) in [(7, 7, 6), (1, 1, 18), (0, 3, 5),
+                                   (3, 0, 5), (5, 5, 15)]:
+                got = np.asarray(bilinear_phases_cropped(x, f, y0, x0, size))
+                np.testing.assert_array_equal(
+                    got, full[:, y0:y0 + size, x0:x0 + size, :],
+                    err_msg=f"f={f} crop=({y0},{x0},{size})")

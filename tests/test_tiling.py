@@ -83,3 +83,41 @@ def test_halo_is_receptive_field_radius():
     c = 3 * (n // 2) + 1
     assert np.abs(ys - c).max() <= 3 * HALO + 2
     assert np.abs(xs - c).max() <= 3 * HALO + 2
+
+
+def test_conv0_s2d_weights_exact():
+    """The space-to-depth conv0 lowering is a pure re-indexing: packed
+    3x3 conv on 2x2-packed input == Same 5x5 conv, for any weights."""
+    from rusty_sr_tpu.parallel.tiling import _conv0_s2d_weights
+    from rusty_sr_tpu.ops.conv import conv2d_same
+    rng = np.random.default_rng(7)
+    x = rng.random((2, 12, 16, 3)).astype(np.float32)
+    w0 = (rng.random((5, 5, 3, 32)) - 0.5).astype(np.float32)
+    ref = np.asarray(conv2d_same(jnp.asarray(x), jnp.asarray(w0)))
+    w2 = _conv0_s2d_weights(jnp.asarray(w0))
+    s = x.reshape(2, 6, 2, 8, 2, 3).transpose(0, 1, 3, 2, 4, 5) \
+         .reshape(2, 6, 8, 12)
+    o = np.asarray(conv2d_same(jnp.asarray(s), w2))
+    got = o.reshape(2, 6, 8, 2, 2, 32).transpose(0, 1, 3, 2, 4, 5) \
+           .reshape(2, 12, 16, 32)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fast_tier_s2d_close_to_exact(anime_params, cartoon):
+    """u8 + bf16 + even tile side triggers the s2d conv0 path; it must
+    stay in the bf16-tier quality class vs the exact path, and agree with
+    the non-s2d bf16 path (odd tile side) to bf16-noise level."""
+    from rusty_sr_tpu.utils.imageio import to_u8
+    u8 = to_u8(cartoon)
+    exact = tiled_sr(anime_params, u8, 3, tile=16, chunk=4)
+    fast_s2d = tiled_sr(anime_params, u8, 3, tile=16, chunk=4,
+                        compute_dtype=jnp.bfloat16)       # side 30: even
+    fast_odd = tiled_sr(anime_params, u8, 3, tile=15, chunk=4,
+                        compute_dtype=jnp.bfloat16)       # side 29: odd
+    d_exact = np.abs(fast_s2d.astype(int) - exact.astype(int))
+    mse = np.mean((fast_s2d / 255.0 - exact / 255.0) ** 2)
+    db = -10 * np.log10(max(mse, 1e-300))
+    assert db >= 45.0, f"s2d fast tier too far from exact: {db:.1f} dB"
+    assert d_exact.max() <= 8
+    d_paths = np.abs(fast_s2d.astype(int) - fast_odd.astype(int))
+    assert d_paths.max() <= 4  # same products, reordered bf16 accumulation
