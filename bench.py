@@ -50,7 +50,8 @@ def main():
     iters = 20
 
     def one_pass(zz):
-        out = _tile_kernel(params, zz, e, m, factor, tile, jnp.bfloat16, True)
+        out = _tile_kernel(params, zz, e, m, factor, tile, jnp.bfloat16, True,
+                           True)
         # fold the HR u8 output back into the u8 input for the dependency
         return jnp.bitwise_xor(out[:, :side, :side, :], zz)
 

@@ -107,9 +107,10 @@ def trunk_params(params):
 
 
 @functools.partial(jax.jit, static_argnames=("factor", "tile", "compute_dtype",
-                                             "u8_io"))
+                                             "u8_io", "out16"))
 def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
-                 tile: int, compute_dtype=None, u8_io: bool = False):
+                 tile: int, compute_dtype=None, u8_io: bool = False,
+                 out16: bool = False):
     """(B, T+2h, T+2h, ·) -> (B, f*T, f*T, 3) exact SR of tile centres.
 
     ``params`` is the merged-conv tree from `trunk_params` — the same
@@ -121,6 +122,12 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
     on device with the reference's clamp->x255->round-half-up rule
     (src/main.rs:175) — 4x less transfer each way, which dominates
     end-to-end time on this tunneled host.
+
+    ``out16`` (fast tier only) casts the trunk-stage outputs to the
+    compute dtype in the dot epilogue (f32 accumulation unchanged, one
+    extra bf16 rounding per stage output), halving the inter-stage HBM
+    traffic of the a/b/c/d tensors: 537.7 -> 573.4 MPix/s at B=24
+    (scripts/perf_probe23.py).
     """
     from rusty_sr_tpu.ops.activations import belu
     from rusty_sr_tpu.ops.conv import conv2d_same
@@ -150,8 +157,15 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
                 # native MXU conv emitter wins there (+8%, probe17); the
                 # 3x3 stages (9x replication) stay im2col (native measured
                 # slower for them: probes 17 / round-1 mixes).
-                return _conv_native(t, w, jnp.float32, None)
+                r = _conv_native(t, w, jnp.float32, None)
+            else:
+                r = conv2d_same(t, w)
+            return r.astype(compute_dtype) if out16 else r
         return conv2d_same(t, w)
+
+    def up(t):
+        """Stage outputs are bf16 under ``out16``; BeLU math stays f32."""
+        return t.astype(jnp.float32) if out16 else t
 
     def f_activation():
         """Masked BeLU(conv0 + bias).  conv0 reads the RAW IMAGE — bf16-
@@ -203,14 +217,15 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
     e = p["expand_bias"].shape[0]
     f_ = f_activation()
     a = cv(f_, "convA")                                  # conv1|conv2|conv3
-    l1 = mask * belu(a[..., :n] + p["l1_bias"], p["l1_belu"])
+    l1 = mask * belu(up(a[..., :n]) + p["l1_bias"], p["l1_belu"])
     b = cv(l1, "convB")                                  # conv5|conv6|conv7
-    l2 = mask * belu(a[..., n:2 * n] + b[..., :n] + p["l2_bias"], p["l2_belu"])
+    l2 = mask * belu(up(a[..., n:2 * n]) + up(b[..., :n]) + p["l2_bias"],
+                     p["l2_belu"])
     c = cv(l2, "convC")                                  # conv8|conv9
-    l3 = mask * belu(a[..., 2 * n:3 * n] + b[..., n:2 * n] + c[..., :n]
-                     + p["l3_bias"], p["l3_belu"])
-    expand = (b[..., 2 * n:2 * n + e] + c[..., n:n + e] + cv(l3, "conv10")
-              + p["expand_bias"])
+    l3 = mask * belu(up(a[..., 2 * n:3 * n]) + up(b[..., n:2 * n])
+                     + up(c[..., :n]) + p["l3_bias"], p["l3_belu"])
+    expand = (up(b[..., 2 * n:2 * n + e]) + up(c[..., n:n + e])
+              + up(cv(l3, "conv10")) + p["expand_bias"])
     # LR-space base (exact f32, channels-outer + pre-cropped — see
     # bilinear_phases_cropped) + halo crop before the single HR-sized op.
     base_ph = bilinear_phases_cropped(edge_tiles, factor, h, h, tile)
@@ -297,7 +312,7 @@ def _scatter_u8(res: np.ndarray, start: int, nx: int, tf: int, out: np.ndarray):
 
 
 def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
-                   chunk: int = 24, compute_dtype=None,
+                   chunk: int = 24, compute_dtype=None, out16=None,
                    device_put: Callable = jax.device_put) -> list:
     """Upscale a list of images, batching tiles ACROSS images.
 
@@ -308,6 +323,8 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     share the input dtype (all uint8 or all float).  Returns outputs in
     input order (uint8 in => uint8 out).
     """
+    if out16 is None:   # bf16-stage-output default for the fast tier
+        out16 = compute_dtype is not None
     if not images:
         return []
     imgs = [np.asarray(im) for im in images]
@@ -341,7 +358,7 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
             for m in metas]
 
     run = lambda z, e, m: _tile_kernel(  # noqa: E731
-        params, z, e, m, factor, tile, compute_dtype, u8_io)
+        params, z, e, m, factor, tile, compute_dtype, u8_io, out16)
 
     pending = []
     for g0 in range(0, n_tiles, chunk):
@@ -377,8 +394,8 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
 
 
 def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
-             chunk: int = 24, compute_dtype=None, engine: str = "xla",
-             rh: int = 16, packed=None,
+             chunk: int = 24, compute_dtype=None, out16=None,
+             engine: str = "xla", rh: int = 16, packed=None,
              device_put: Callable = jax.device_put) -> np.ndarray:
     """Upscale (H,W,3) f32 by ``factor`` exactly, any size, one executable.
 
@@ -390,6 +407,8 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
     (Pallas trunk; pass ``packed`` from pack_trunk_weights to avoid
     repacking, and ``rh`` as the kernel row-block).
     """
+    if out16 is None:   # bf16-stage-output default for the fast tier
+        out16 = compute_dtype is not None
     u8_io = (np.asarray(image).dtype == np.uint8)
     img = np.asarray(image) if u8_io else np.asarray(image, dtype=np.float32)
     if engine == "xla":
@@ -435,7 +454,7 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
             packed, z, e, m, factor, tile, rh, compute_dtype or jnp.bfloat16)
     else:
         run = lambda z, e, m: _tile_kernel(  # noqa: E731
-            params, z, e, m, factor, tile, compute_dtype, u8_io)
+            params, z, e, m, factor, tile, compute_dtype, u8_io, out16)
 
     side = tile + 2 * h
     n_tiles = ny * nx
