@@ -151,12 +151,13 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
         if compute_dtype is not None:
             w = w.astype(compute_dtype)
             t = t.astype(compute_dtype)
-            if name == "convA":
-                # The 5x5 merged stage replicates its input 25x as im2col
-                # patches (3.4 GB write+read per 16x256^2 pass) — the
-                # native MXU conv emitter wins there (+8%, probe17); the
-                # 3x3 stages (9x replication) stay im2col (native measured
-                # slower for them: probes 17 / round-1 mixes).
+            if name == "convA" or out16:
+                # convA (5x5 merged, 25x im2col replication) always wins
+                # on the native MXU conv emitter (~60 TFLOP/s in-net).
+                # The 3x3 stages lose on native with f32 stage outputs
+                # (probe21: 36.2 vs 27.4 ms — layout transitions) but WIN
+                # once stage outputs are bf16 (probe24: 21.3 vs 22.0 ms),
+                # so they go native exactly when out16 is on.
                 r = _conv_native(t, w, jnp.float32, None)
             else:
                 r = conv2d_same(t, w)
