@@ -11,9 +11,18 @@ TRAINING_FOLDER, `-l/--linearLoss`, `-r/--recurse`, `-s/--start FILE`,
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+# Persistent XLA compilation cache: on a real TPU a fresh executable takes
+# minutes to compile; without a disk cache EVERY process pays it again.
+# Respect an existing setting; JAX ignores the dir if it can't create it.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "rusty_sr_tpu",
+                 "jax_cache"))
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -49,9 +58,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device engine: 'int8' runs the trunk quantised "
                         "(calibrated per-channel scales, ~55+ dB parity); "
                         "'fused' uses the Pallas trunk kernel")
+    p.add_argument("--mesh", metavar="SPEC", default=None,
+                   help="shard the tile batch over a device mesh: "
+                        "'data=N' or just 'N' (batch-of-tiles data "
+                        "parallelism; no collectives on the forward path)")
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                    help="force a JAX platform (default: environment's)")
     return p
+
+
+def _parse_mesh(spec_str: str):
+    """'data=N[,spatial=M]' or 'N' -> jax.sharding.Mesh (raises ValueError)."""
+    from rusty_sr_tpu.parallel.mesh import make_mesh
+    spec = dict(kv.split("=") for kv in spec_str.split(",")) \
+        if "=" in spec_str else {"data": spec_str}
+    if "data" not in spec:
+        raise ValueError("mesh spec needs a 'data' axis")
+    n_data = int(spec.pop("data"))
+    n_spatial = int(spec.pop("spatial", 1))
+    if spec:
+        raise ValueError(f"unknown mesh axes {sorted(spec)}")
+    return make_mesh(n_data=n_data, n_spatial=n_spatial)
 
 
 def build_train_parser() -> argparse.ArgumentParser:
@@ -159,6 +186,30 @@ def run_upscale(args) -> int:
                   "is used for upscaling and training.", file=sys.stderr)
             return 1
         tree = {k: jnp.asarray(v) for k, v in tree.items()}
+        if getattr(args, "mesh", None) and args.engine == "xla":
+            from rusty_sr_tpu.parallel.mesh import tiled_sr_sharded
+            try:
+                mesh = _parse_mesh(args.mesh)
+            except (ValueError, AssertionError) as e:
+                print(f"\nerror: bad --mesh {args.mesh!r}: {e}",
+                      file=sys.stderr)
+                return 2
+            out = tiled_sr_sharded(tree, img_u8, mesh, args.factor,
+                                   tile=args.tile,
+                                   compute_dtype=compute_dtype)
+            print(" Writing file...", end="", flush=True)
+            try:
+                save_image_u8(args.OUTPUT_FILE, out)
+            except OSError as e:
+                print(f"\nError creating output image file: {e}",
+                      file=sys.stderr)
+                return 1
+            print(" Done")
+            return 0
+        elif getattr(args, "mesh", None):
+            print(f"\nerror: --mesh supports the 'xla' engine only "
+                  f"(got {args.engine!r})", file=sys.stderr)
+            return 2
         if args.engine in ("xla", "int8"):
             # u8 tiles end-to-end: 4x less host<->device transfer
             out = tiled_sr(tree, img_u8, args.factor, tile=args.tile,
@@ -271,15 +322,8 @@ def run_train(args) -> int:
 
     mesh = None
     if args.mesh:
-        from rusty_sr_tpu.parallel.mesh import make_mesh
         try:
-            spec = dict(kv.split("=") for kv in args.mesh.split(",")) \
-                if "=" in args.mesh else {"data": args.mesh}
-            n_data = int(spec.pop("data"))
-            n_spatial = int(spec.pop("spatial", 1))
-            if spec:
-                raise ValueError(f"unknown mesh axes {sorted(spec)}")
-            mesh = make_mesh(n_data=n_data, n_spatial=n_spatial)
+            mesh = _parse_mesh(args.mesh)
         except (ValueError, AssertionError) as e:
             print(f"error: bad --mesh {args.mesh!r}: {e}", file=sys.stderr)
             return 2

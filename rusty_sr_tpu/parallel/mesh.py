@@ -57,7 +57,8 @@ def shard_batch(mesh: Mesh, batch: np.ndarray) -> jax.Array:
 
 
 def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
-                     *, tile: int = 242, compute_dtype=None) -> np.ndarray:
+                     *, tile: int = 242, compute_dtype=None,
+                     out16=None) -> np.ndarray:
     """Overlap-tile inference with the tile batch sharded over the mesh's
     'data' axis — SURVEY.md §2.4's "batch-of-tiles data parallelism".
 
@@ -65,17 +66,24 @@ def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
     tile kernel then runs embarrassingly parallel across chips (no
     collectives needed on the forward path; results gather to host).
     """
-    from rusty_sr_tpu.parallel.tiling import HALO, _tile_kernel, trunk_params
+    from rusty_sr_tpu.parallel.tiling import (HALO, _gather_u8, _scatter_u8,
+                                              _tile_kernel, trunk_params)
     from rusty_sr_tpu.utils import native
 
+    if out16 is None:   # match the single-chip fast-tier default
+        out16 = compute_dtype is not None
     params = trunk_params(params)
     n_data = mesh.shape["data"]
-    img = np.asarray(image, dtype=np.float32)
+    u8_io = np.asarray(image).dtype == np.uint8
+    img = np.asarray(image) if u8_io else np.asarray(image, dtype=np.float32)
     hgt, wid, _ = img.shape
     h = HALO
     ny = max(1, -(-hgt // tile))
     nx = max(1, -(-wid // tile))
-    zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
+    if u8_io:
+        zt, et, mt = _gather_u8(img, tile, h, ny, nx)
+    else:
+        zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
 
     side = tile + 2 * h
     n_tiles = ny * nx
@@ -84,18 +92,23 @@ def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
     repl = NamedSharding(mesh, P())
     params = jax.device_put(params, repl)
 
-    out = np.zeros((hgt * factor, wid * factor, 3), np.float32)
+    out_dtype = np.uint8 if u8_io else np.float32
+    out = np.zeros((hgt * factor, wid * factor, 3), out_dtype)
+    tf = tile * factor
     for start in range(0, n_tiles, chunk):
         stop = min(start + chunk, n_tiles)
         cnt = stop - start
         zb, eb, mb = zt[start:stop], et[start:stop], mt[start:stop]
         if cnt < chunk:
             fill = chunk - cnt
-            zb = np.concatenate([zb, np.zeros((fill, side, side, 3), np.float32)])
-            eb = np.concatenate([eb, np.zeros((fill, side, side, 3), np.float32)])
-            mb = np.concatenate([mb, np.zeros((fill, side, side, 1), np.float32)])
+            zb = np.concatenate([zb, np.zeros((fill, side, side, 3), zt.dtype)])
+            eb = np.concatenate([eb, np.zeros((fill, side, side, 3), et.dtype)])
+            mb = np.concatenate([mb, np.zeros((fill, side, side, 1), mt.dtype)])
         res = _tile_kernel(params, jax.device_put(zb, sh),
                            jax.device_put(eb, sh), jax.device_put(mb, sh),
-                           factor, tile, compute_dtype)
-        native.scatter_tiles(np.asarray(res[:cnt]), start, nx, out)
+                           factor, tile, compute_dtype, u8_io, out16)
+        if u8_io:
+            _scatter_u8(np.asarray(res[:cnt]), start, nx, tf, out)
+        else:
+            native.scatter_tiles(np.asarray(res[:cnt]), start, nx, out)
     return out

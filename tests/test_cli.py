@@ -160,3 +160,29 @@ def test_end_to_end_bilinear(tmp_path):
                    str(src), str(dst)])
     assert rc == 0
     assert load_image(str(dst)).shape == (18, 15, 3)
+
+
+def test_upscale_mesh_matches_unsharded(tmp_path):
+    """`--mesh data=4` output must byte-match the unsharded run; a bad
+    mesh spec and a non-xla engine with --mesh both exit 2."""
+    import jax
+    import numpy as np
+    from rusty_sr_tpu import cli
+    from rusty_sr_tpu.utils.imageio import load_image_u8, save_image_u8
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 virtual devices")
+    src = "/root/reference/docs/cartoon_lr.png"
+    img = load_image_u8(src)[:40, :48]
+    small = str(tmp_path / "in.png")
+    save_image_u8(small, img)
+    a, b = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    assert cli.main(["--platform", "cpu", "-p", "anime", "--tile", "16",
+                     small, a]) == 0
+    assert cli.main(["--platform", "cpu", "-p", "anime", "--tile", "16",
+                     "--mesh", "data=4", small, b]) == 0
+    np.testing.assert_array_equal(load_image_u8(a), load_image_u8(b))
+    assert cli.main(["--platform", "cpu", "-p", "anime", "--mesh", "bogus=2",
+                     small, b]) == 2
+    assert cli.main(["--platform", "cpu", "-p", "anime", "--mesh", "2",
+                     "--engine", "int8", small, b]) == 2

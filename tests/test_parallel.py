@@ -78,3 +78,22 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (1, 192, 192, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sharded_tiled_u8_matches_single_device(tree):
+    """tiled_sr_sharded on the u8 fast path must byte-match single-device
+    tiled_sr (same kernel, tiles merely sharded over 'data')."""
+    from rusty_sr_tpu.parallel.mesh import tiled_sr_sharded
+    from rusty_sr_tpu.parallel.tiling import tiled_sr
+    mesh = make_mesh(n_data=4, n_spatial=1)
+    img = RNG.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    want = tiled_sr(tree, img, 3, tile=16, chunk=4)
+    got = tiled_sr_sharded(tree, img, mesh, 3, tile=16)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+    # bf16 fast tier (out16 defaults on) through the sharded path too
+    want_f = tiled_sr(tree, img, 3, tile=16, chunk=4,
+                      compute_dtype=jnp.bfloat16)
+    got_f = tiled_sr_sharded(tree, img, mesh, 3, tile=16,
+                             compute_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(got_f, want_f)
