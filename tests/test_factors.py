@@ -73,3 +73,19 @@ def test_fused_trunk_factor2_interpret():
     full = jax.jit(lambda p, b: sr_apply(p, b, f))(tree, jnp.asarray(img))
     want = np.asarray(full - upsample_bilinear(jnp.asarray(img), f))
     np.testing.assert_allclose(got, want, atol=3e-6)
+
+
+@pytest.mark.parametrize("f", [2, 4])
+def test_fast_u8_tier_factor_generic(f):
+    """The u8 fast tier (s2d conv0 + bf16 trunk + out16) is factor-
+    generic: right shapes, and within the bf16-tier class of the exact
+    u8 path for factors other than the reference's 3."""
+    tree = jax.tree.map(jnp.asarray, P.init_params(5, f))
+    img = RNG.integers(0, 256, (40, 34, 3), dtype=np.uint8)
+    exact = tiled_sr(tree, img, f, tile=16, chunk=4)
+    fast = tiled_sr(tree, img, f, tile=16, chunk=4,
+                    compute_dtype=jnp.bfloat16)
+    assert fast.shape == (40 * f, 34 * f, 3) and fast.dtype == np.uint8
+    mse = np.mean((fast / 255.0 - exact / 255.0) ** 2)
+    db = -10 * np.log10(max(mse, 1e-300))
+    assert db >= 40.0, f"factor {f}: fast tier {db:.1f} dB vs exact"
