@@ -374,6 +374,9 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
         pending.append(
             (g0, cnt, run(device_put(zb), device_put(eb), device_put(mb))))
 
+    for _, _, res in pending:  # start all D2H copies before the first fetch
+        if hasattr(res, "copy_to_host_async"):
+            res.copy_to_host_async()
     img_idx = 0
     for g0, cnt, res in pending:
         res = np.asarray(res[:cnt])
@@ -477,6 +480,9 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
             mb = np.concatenate([mb, np.zeros((fill, side, side, 1), mt.dtype)])
         pending.append(
             (start, cnt, run(device_put(zb), device_put(eb), device_put(mb))))
+    for _, _, res in pending:  # start all D2H copies before the first fetch
+        if hasattr(res, "copy_to_host_async"):
+            res.copy_to_host_async()
     tf = tile * factor
     for start, cnt, res in pending:
         if u8_io:
