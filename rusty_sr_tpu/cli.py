@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "parallelism; no collectives on the forward path)")
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                    help="force a JAX platform (default: environment's)")
+    p.add_argument("--trace", metavar="DIR", default=None,
+                   help="capture an XLA profiler trace of the run to DIR "
+                        "(view in TensorBoard/Perfetto)")
     return p
 
 
@@ -117,6 +120,9 @@ def build_train_parser() -> argparse.ArgumentParser:
                         "evenly over the mesh 'data' axis")
     t.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                    help="force a JAX platform (default: environment's)")
+    t.add_argument("--trace", metavar="DIR", default=None,
+                   help="capture an XLA profiler trace of the run to DIR "
+                        "(view in TensorBoard/Perfetto)")
     return t
 
 
@@ -407,6 +413,10 @@ def main(argv=None) -> int:
         # (e.g. the axon plugin) would otherwise win.
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "trace", None):
+        from rusty_sr_tpu.utils.profiling import trace
+        with trace(args.trace):
+            return run_train(args) if is_train else run_upscale(args)
     return run_train(args) if is_train else run_upscale(args)
 
 
