@@ -4,6 +4,16 @@ The pass is XLA-conv-emitter-bound (PERF.md); the one compiler-level
 knob not yet tried is scoped VMEM, which bounds fusion sizes.  Each
 config runs `bench.py` in a subprocess (XLA_FLAGS is process-level);
 the compilation cache keys on flags so each config compiles fresh once.
+
+RESULT: CLOSED on this backend.  The host XLA flag parser is CPU-only
+and hard-rejects every --xla_tpu_* flag (`Unknown flag in XLA_FLAGS`,
+F-level abort) because the TPU compile happens REMOTELY via the axon
+tunnel; and the per-jit route (`jit(f).lower(x).compile(
+compiler_options={"xla_tpu_scoped_vmem_limit_kib": ...})`) HANGS the
+remote compile helper >10 min on a trivial 256x256 matmul (same failure
+class as lax.conv at Precision.HIGHEST, CLAUDE.md).  TPU compiler knobs
+are simply unreachable from this environment — baseline measured 592.3
+MPix/s, nothing else runnable.
 """
 
 import json
