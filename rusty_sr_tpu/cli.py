@@ -315,6 +315,104 @@ def _run_upscale_folder(args) -> int:
     return 0
 
 
+def build_watch_parser() -> argparse.ArgumentParser:
+    w = argparse.ArgumentParser(
+        prog="rusty_sr_tpu watch",
+        description="Serving mode: watch a folder and upscale every image "
+                    "that appears in it. The process stays resident, so "
+                    "weights and compiled TPU executables are loaded once "
+                    "and every request after the first runs at full device "
+                    "throughput (new arrivals are batched across images).")
+    w.add_argument("INPUT_DIR", help="folder to watch for images")
+    w.add_argument("OUTPUT_DIR", help="upscaled images are written here")
+    w.add_argument("-p", "--parameters",
+                   choices=["imagenet", "imagenetlinear", "anime"],
+                   help="which built-in parameters to use")
+    w.add_argument("-c", "--custom", metavar="PARAMETER_FILE",
+                   help="custom parameter file (.rsr)")
+    w.add_argument("-f", "--factor", type=int, default=3)
+    w.add_argument("--fast", action="store_true",
+                   help="bf16 conv trunk (higher throughput)")
+    w.add_argument("--tile", type=int, default=242)
+    w.add_argument("--chunk", type=int, default=24)
+    w.add_argument("--poll", type=float, default=1.0,
+                   help="seconds between folder scans")
+    w.add_argument("--once", action="store_true",
+                   help="process the current folder contents and exit")
+    w.add_argument("--platform", choices=["tpu", "cpu"], default=None)
+    return w
+
+
+def run_watch(args) -> int:
+    import time
+    import jax.numpy as jnp
+    from rusty_sr_tpu import params as params_lib
+    from rusty_sr_tpu.parallel.tiling import tiled_sr_batch
+    from rusty_sr_tpu.train.data import list_images
+    from rusty_sr_tpu.utils.imageio import load_image_u8, save_image_u8
+
+    if args.custom and args.parameters:
+        print("error: --custom conflicts with --parameters", file=sys.stderr)
+        return 2
+    try:
+        if args.custom:
+            tree = params_lib.load_rsr_file(args.custom, args.factor)
+        else:
+            tree = params_lib.load_builtin(args.parameters or "imagenet",
+                                           args.factor)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    tree = {k: jnp.asarray(v) for k, v in tree.items()}
+    compute_dtype = jnp.bfloat16 if args.fast else None
+    if not os.path.isdir(args.INPUT_DIR):
+        print(f"error: {args.INPUT_DIR!r} is not a folder", file=sys.stderr)
+        return 1
+    os.makedirs(args.OUTPUT_DIR, exist_ok=True)
+
+    done: dict = {}      # path -> mtime processed (or last failed attempt)
+    fails: dict = {}     # path -> attempt count
+    print(f"Watching {args.INPUT_DIR} (poll {args.poll}s; Ctrl-C to stop)",
+          flush=True)
+    try:
+        while True:
+            batch_paths, batch_imgs = [], []
+            for f in list_images(args.INPUT_DIR):
+                try:
+                    mt = os.path.getmtime(f)
+                except OSError:
+                    continue
+                if done.get(f) == mt or fails.get(f, 0) >= 3:
+                    continue
+                try:
+                    batch_imgs.append(load_image_u8(f))
+                    batch_paths.append((f, mt))
+                except OSError as e:
+                    # possibly still being written — retry next scans
+                    fails[f] = fails.get(f, 0) + 1
+                    if fails[f] >= 3:
+                        print(f"skipping {f}: {e}", file=sys.stderr)
+            if batch_imgs:
+                t0 = time.time()
+                outs = tiled_sr_batch(tree, batch_imgs, args.factor,
+                                      tile=args.tile, chunk=args.chunk,
+                                      compute_dtype=compute_dtype)
+                for (f, mt), out in zip(batch_paths, outs):
+                    name = os.path.splitext(os.path.basename(f))[0] + ".png"
+                    save_image_u8(os.path.join(args.OUTPUT_DIR, name), out)
+                    done[f] = mt
+                    fails.pop(f, None)
+                px = sum(o.shape[0] * o.shape[1] for o in outs) / 1e6
+                print(f"upscaled {len(outs)} image(s), {px:.1f} HR MPix "
+                      f"in {time.time() - t0:.2f}s", flush=True)
+            if args.once:
+                return 0
+            time.sleep(args.poll)
+    except KeyboardInterrupt:
+        print("\nDone")
+        return 0
+
+
 def run_train(args) -> int:
     if args.val_max is not None and not args.val_folder:
         # clap: .requires("VALIDATION_FOLDER") (reference src/main.rs:109)
@@ -406,18 +504,25 @@ def main(argv=None) -> int:
     # uses SubcommandsNegateReqs, src/main.rs:38); argparse can't mix an
     # optional subcommand with required positionals, so dispatch manually.
     is_train = bool(argv) and argv[0] == "train"
-    args = (build_train_parser().parse_args(argv[1:]) if is_train
-            else build_parser().parse_args(argv))
+    is_watch = bool(argv) and argv[0] == "watch"
+    if is_watch:
+        args = build_watch_parser().parse_args(argv[1:])
+    elif is_train:
+        args = build_train_parser().parse_args(argv[1:])
+    else:
+        args = build_parser().parse_args(argv)
     if args.platform:
         # Must precede any jax usage; JAX_PLATFORMS from the environment
         # (e.g. the axon plugin) would otherwise win.
         import jax
         jax.config.update("jax_platforms", args.platform)
+    runner = (run_watch if is_watch else
+              run_train if is_train else run_upscale)
     if getattr(args, "trace", None):
         from rusty_sr_tpu.utils.profiling import trace
         with trace(args.trace):
-            return run_train(args) if is_train else run_upscale(args)
-    return run_train(args) if is_train else run_upscale(args)
+            return runner(args)
+    return runner(args)
 
 
 if __name__ == "__main__":

@@ -186,3 +186,30 @@ def test_upscale_mesh_matches_unsharded(tmp_path):
                      small, b]) == 2
     assert cli.main(["--platform", "cpu", "-p", "anime", "--mesh", "2",
                      "--engine", "int8", small, b]) == 2
+
+
+def test_watch_once_serves_folder(tmp_path, capsys):
+    """`watch --once` (serving mode): processes current folder contents,
+    matches the plain upscale path byte-for-byte, skips junk files."""
+    from rusty_sr_tpu.utils.imageio import save_image, load_image_u8
+    rng = np.random.default_rng(7)
+    src = tmp_path / "in"
+    src.mkdir()
+    save_image(str(src / "a.png"), rng.random((12, 10, 3)).astype(np.float32))
+    (src / "junk.png").write_bytes(b"not a png")
+    dst = tmp_path / "out"
+    rc = cli.main(["watch", "--platform", "cpu", "-p", "anime",
+                   "--tile", "16", "--once", str(src), str(dst)])
+    assert rc == 0
+    single = tmp_path / "single.png"
+    assert cli.main(["-p", "anime", "--tile", "16",
+                     str(src / "a.png"), str(single)]) == 0
+    np.testing.assert_array_equal(load_image_u8(str(dst / "a.png")),
+                                  load_image_u8(str(single)))
+    assert not (dst / "junk.png").exists()
+
+
+def test_watch_bad_input_dir(capsys):
+    rc = cli.main(["watch", "--platform", "cpu", "/nonexistent_dir_xyz", "o"])
+    assert rc == 1
+    assert "not a folder" in capsys.readouterr().err
