@@ -71,7 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _parse_mesh(spec_str: str):
-    """'data=N[,spatial=M]' or 'N' -> jax.sharding.Mesh (raises ValueError)."""
+    """'data=N[,spatial=M][,model=K]' or 'N' -> jax.sharding.Mesh
+    (raises ValueError)."""
     from rusty_sr_tpu.parallel.mesh import make_mesh
     spec = dict(kv.split("=") for kv in spec_str.split(",")) \
         if "=" in spec_str else {"data": spec_str}
@@ -79,9 +80,10 @@ def _parse_mesh(spec_str: str):
         raise ValueError("mesh spec needs a 'data' axis")
     n_data = int(spec.pop("data"))
     n_spatial = int(spec.pop("spatial", 1))
+    n_model = int(spec.pop("model", 1))
     if spec:
         raise ValueError(f"unknown mesh axes {sorted(spec)}")
-    return make_mesh(n_data=n_data, n_spatial=n_spatial)
+    return make_mesh(n_data=n_data, n_spatial=n_spatial, n_model=n_model)
 
 
 def build_train_parser() -> argparse.ArgumentParser:
@@ -111,10 +113,11 @@ def build_train_parser() -> argparse.ArgumentParser:
                    help="also write orbax native checkpoints (params + "
                         "optimizer state, resumable) to DIR")
     t.add_argument("--mesh", metavar="SPEC", default=None,
-                   help="data-parallel training over a device mesh: "
-                        "'data=N[,spatial=M]' or just 'N' (batch shards "
-                        "over 'data', image height over 'spatial'; XLA "
-                        "inserts the gradient all-reduce)")
+                   help="parallel training over a device mesh: "
+                        "'data=N[,spatial=M][,model=K]' or just 'N' "
+                        "(batch shards over 'data', image height over "
+                        "'spatial', conv channels + optimizer state over "
+                        "'model'; XLA inserts the collectives)")
     t.add_argument("--batch", type=int, default=None,
                    help="batch size (reference default 4); must divide "
                         "evenly over the mesh 'data' axis")

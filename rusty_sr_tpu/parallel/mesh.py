@@ -12,6 +12,12 @@ convs) over ICI:
   GSPMD spatially partitions the convs and exchanges halos over ICI.
   This is the reference workload's analogue of sequence parallelism
   (SURVEY.md §5 "long-context" row).
+- ``model`` axis: tensor parallelism — conv output channels (and the
+  matching bias/BeLU vectors, gradients, and Adam moments) shard over
+  the axis, so per-chip parameter/optimizer memory scales down with the
+  mesh; XLA inserts the activation all-gathers.  At this model's size it
+  exists to prove the axis composes (dp x sp x tp in one jitted step),
+  not because 130 k params need it.
 """
 
 from __future__ import annotations
@@ -26,15 +32,43 @@ from rusty_sr_tpu.models.sr_net import sr_apply
 
 
 def make_mesh(n_data: Optional[int] = None, n_spatial: int = 1,
+              n_model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """A (data, spatial) mesh over the available devices."""
+    """A (data, spatial, model) mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_spatial
-    assert n_data * n_spatial <= len(devices), \
-        f"need {n_data}x{n_spatial} devices, have {len(devices)}"
-    arr = np.asarray(devices[: n_data * n_spatial]).reshape(n_data, n_spatial)
-    return Mesh(arr, ("data", "spatial"))
+        n_data = len(devices) // (n_spatial * n_model)
+    need = n_data * n_spatial * n_model
+    assert need <= len(devices), \
+        f"need {n_data}x{n_spatial}x{n_model} devices, have {len(devices)}"
+    arr = np.asarray(devices[:need]).reshape(n_data, n_spatial, n_model)
+    return Mesh(arr, ("data", "spatial", "model"))
+
+
+def _tp_spec(x, n_model: int) -> P:
+    """Shape-rule PartitionSpec for tensor parallelism: conv kernels
+    (kh,kw,ci,co) shard co over 'model'; per-channel vectors shard when
+    divisible (the 27-channel expand segments replicate); everything
+    else (Adam count scalars, ...) replicates.  The same rule maps both
+    the param tree and the optax state (whose moment leaves mirror the
+    params), so one tree_map shards the whole train state."""
+    if x.ndim == 4 and x.shape[-1] % n_model == 0:
+        return P(None, None, None, "model")
+    if x.ndim == 1 and x.shape[0] % n_model == 0 and x.shape[0] >= n_model:
+        return P("model")
+    return P()
+
+
+def shard_train_state(mesh: Mesh, params, opt_state):
+    """device_put (params, opt_state) with conv channels sharded over the
+    mesh's 'model' axis (see _tp_spec).  The jitted train step then
+    inherits these shardings from its committed inputs and XLA inserts
+    the activation all-gathers / gradient reduce-scatters."""
+    n_model = mesh.shape.get("model", 1)
+    put = lambda t: jax.tree.map(  # noqa: E731
+        lambda x: jax.device_put(x, NamedSharding(mesh, _tp_spec(x, n_model))),
+        t)
+    return put(params), put(opt_state)
 
 
 def make_sharded_apply(mesh: Mesh, factor: int = 3, compute_dtype=None):

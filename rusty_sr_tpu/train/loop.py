@@ -114,9 +114,17 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[Mesh] = None,
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1)), opt
 
-    repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(
         mesh, P("data", "spatial" if spatial else None, None, None))
+    if mesh.shape.get("model", 1) > 1:
+        # Tensor parallelism: params/opt state arrive channel-sharded via
+        # parallel.mesh.shard_train_state (committed inputs), the step
+        # inherits those shardings (in_shardings=None), and donation keeps
+        # the state in place across steps.
+        return jax.jit(step, in_shardings=(None, None, batch_sh),
+                       donate_argnums=(0, 1)), opt
+
+    repl = NamedSharding(mesh, P())
     jitted = jax.jit(
         step,
         in_shardings=(repl, repl, batch_sh),
@@ -210,6 +218,9 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
     params = jax.tree.map(jnp.asarray, params)
     step_fn, opt = make_train_step(cfg, mesh)
     opt_state = opt.init(params)
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        from rusty_sr_tpu.parallel.mesh import shard_train_state
+        params, opt_state = shard_train_state(mesh, params, opt_state)
 
     budget_steps = cfg.max_evals // cfg.batch_size
     if max_steps is not None:

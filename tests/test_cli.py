@@ -213,3 +213,20 @@ def test_watch_bad_input_dir(capsys):
     rc = cli.main(["watch", "--platform", "cpu", "/nonexistent_dir_xyz", "o"])
     assert rc == 1
     assert "not a folder" in capsys.readouterr().err
+
+
+def test_train_mesh_tp_smoke(tmp_path):
+    """CLI --mesh with a 'model' axis: dp x tp training end to end."""
+    from rusty_sr_tpu.utils.imageio import save_image
+    ti = tmp_path / "ti"
+    ti.mkdir()
+    rng = np.random.default_rng(11)
+    for i in range(2):
+        save_image(str(ti / f"t{i}.png"),
+                   rng.random((200, 200, 3)).astype(np.float32))
+    out = tmp_path / "o.rsr"
+    rc = cli.main(["train", str(out), str(ti), "--platform", "cpu",
+                   "--mesh", "data=2,model=2", "--batch", "4",
+                   "--max_steps", "1"])
+    assert rc == 0
+    assert out.stat().st_size == 1_043_676

@@ -58,3 +58,34 @@ def test_sharded_apply_bf16(tree):
         lambda p, b: sr_apply(p, b, 3, compute_dtype=jnp.bfloat16))(
         tree, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=3e-2)
+
+
+def test_tp_train_step_matches_single_device(tree):
+    """dp x tp training: one step on a (data=2, spatial=1, model=2) mesh
+    (conv channels + Adam moments sharded over 'model') must match the
+    single-device step numerically."""
+    from rusty_sr_tpu.parallel.mesh import shard_train_state
+    from rusty_sr_tpu.train.loop import TrainConfig, make_train_step
+
+    cfg = TrainConfig(factor=3, batch_size=4, crop=24)
+    hr = RNG.random((4, 24, 24, 3), dtype=np.float32)
+
+    ref_step, ref_opt = make_train_step(cfg)
+    p0 = jax.tree.map(jnp.asarray, P.init_params(3, 3))
+    rp, ro, rl, rm = ref_step(p0, ref_opt.init(p0), jnp.asarray(hr))
+
+    mesh = make_mesh(n_data=2, n_spatial=1, n_model=2)
+    step, opt = make_train_step(cfg, mesh)
+    p1 = jax.tree.map(jnp.asarray, P.init_params(3, 3))
+    sp, so = shard_train_state(mesh, p1, opt.init(p1))
+    gp, go, gl, gm = step(sp, so, jnp.asarray(hr))
+
+    np.testing.assert_allclose(float(gl), float(rl), rtol=1e-5)
+    for k in rp:
+        np.testing.assert_allclose(np.asarray(gp[k]), np.asarray(rp[k]),
+                                   atol=2e-6, err_msg=k)
+    # the sharded state really is sharded over 'model'
+    sh = gp["conv1"].sharding
+    assert "model" in getattr(sh, "spec", ())[-1:] or \
+        sh.is_equivalent_to(jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, None, None, "model")), 4)
