@@ -107,17 +107,19 @@ def sr_apply_fused(mparams, x: jnp.ndarray, factor: int = 3, *,
         if compute_dtype is not None:
             if native and conv_fn is None:
                 # conv0 reads the raw image: rounding it to bf16 costs
-                # 3.4 dB for 1.8% of FLOPs.  Exact two-term bf16 split of
-                # the input (h = hi + lo exactly) recovers +1.7 dB for one
-                # extra cheap conv0 pass; the native emitter avoids the
-                # 25x im2col replication of a 3-channel input
-                # (scripts/perf_probe13.py; Precision.HIGH measured -29%).
-                from rusty_sr_tpu.ops.conv import _conv_native
-                wb = w.astype(compute_dtype)
-                hi = h.astype(compute_dtype)
-                lo = (h - hi.astype(jnp.float32)).astype(compute_dtype)
-                return (_conv_native(hi, wb, jnp.float32, None)
-                        + _conv_native(lo, wb, jnp.float32, None))
+                # 3.4 dB for 1.8% of FLOPs.  Three-term masked bf16 split
+                # of input AND weights (hi*w_hi + hi*w_lo + lo*w_hi as a
+                # single K=225 dot) gives Precision.HIGH-class conv0 on
+                # pure MXU bf16 passes.  MUST use ops.conv.bf16_split:
+                # the convert-based residual is folded to zero by XLA's
+                # allow-excess-precision rewrite (perf_probe29-34).
+                from rusty_sr_tpu.ops.conv import _conv_native, bf16_split
+                hi, lo = bf16_split(h)
+                w_hi, w_lo = bf16_split(w)
+                return _conv_native(
+                    jnp.concatenate([hi, hi, lo], axis=-1),
+                    jnp.concatenate([w_hi, w_lo, w_hi], axis=2),
+                    jnp.float32, None)
             w = w.astype(compute_dtype)
             h = h.astype(compute_dtype)
         return _conv(h, w)

@@ -27,6 +27,26 @@ from jax import lax
 _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
 
+def bf16_split(v):
+    """f32 -> (hi, lo) bf16 pair with v == hi + lo (hi exact, lo rounds
+    the 16-bit residual; combined representation error ~2^-25 relative).
+
+    The split is built by BIT-MASKING the low mantissa bits, NOT by
+    `v - v.astype(bf16).astype(f32)`: XLA's allow-excess-precision
+    simplification legally folds `upcast(downcast(v)) -> v` inside jit,
+    which silently turns the convert-based residual into `v - v == 0`
+    and collapses any two-term-split conv back to single bf16 rounding
+    (measured: mean|lo| == 0 in-net, and lax.optimization_barrier does
+    not stop it — scripts/perf_probe34.py and PERF.md).  The masked form
+    has no convert pair to elide.
+    """
+    import numpy as np
+    bits = lax.bitcast_convert_type(v, jnp.uint32)
+    hi_f = lax.bitcast_convert_type(bits & np.uint32(0xFFFF0000),
+                                    jnp.float32)
+    return hi_f.astype(jnp.bfloat16), (v - hi_f).astype(jnp.bfloat16)
+
+
 def _conv_native(x, w, accum, precision):
     return lax.conv_general_dilated(
         x, w,

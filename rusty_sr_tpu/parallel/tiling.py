@@ -107,10 +107,12 @@ def trunk_params(params):
 
 
 @functools.partial(jax.jit, static_argnames=("factor", "tile", "compute_dtype",
-                                             "u8_io", "out16"))
+                                             "u8_io", "out16", "conv0_s2d",
+                                             "conv0_ws"))
 def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
                  tile: int, compute_dtype=None, u8_io: bool = False,
-                 out16: bool = False):
+                 out16: bool = False, conv0_s2d: bool = True,
+                 conv0_ws: bool = True):
     """(B, T+2h, T+2h, ·) -> (B, f*T, f*T, 3) exact SR of tile centres.
 
     ``params`` is the merged-conv tree from `trunk_params` — the same
@@ -127,7 +129,10 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
     compute dtype in the dot epilogue (f32 accumulation unchanged, one
     extra bf16 rounding per stage output), halving the inter-stage HBM
     traffic of the a/b/c/d tensors: 537.7 -> 573.4 MPix/s at B=24
-    (scripts/perf_probe23.py).
+    (scripts/perf_probe23.py).  ``out16="bcd"`` keeps convA's output (the
+    widest tensor, feeding every later stage) in f32 and rounds only the
+    3x3 stage outputs — measured the best budget-compliant point on the
+    quality/throughput frontier (scripts/perf_probe29.py).
     """
     from rusty_sr_tpu.ops.activations import belu
     from rusty_sr_tpu.ops.conv import conv2d_same
@@ -146,26 +151,30 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
     x = zero_tiles
     mask = mask_tiles
 
+    def o16(name):
+        """Does this stage's output round to the compute dtype?"""
+        return out16 is True or (out16 == "bcd" and name != "convA")
+
     def cv(t, name):
         w = p[name]
         if compute_dtype is not None:
             w = w.astype(compute_dtype)
             t = t.astype(compute_dtype)
-            if name == "convA" or out16:
+            if name == "convA" or o16(name):
                 # convA (5x5 merged, 25x im2col replication) always wins
                 # on the native MXU conv emitter (~60 TFLOP/s in-net).
                 # The 3x3 stages lose on native with f32 stage outputs
                 # (probe21: 36.2 vs 27.4 ms — layout transitions) but WIN
-                # once stage outputs are bf16 (probe24: 21.3 vs 22.0 ms),
-                # so they go native exactly when out16 is on.
+                # once their outputs are bf16 (probe24: 21.3 vs 22.0 ms),
+                # so they go native exactly when their output rounds.
                 r = _conv_native(t, w, jnp.float32, None)
             else:
                 r = conv2d_same(t, w)
-            return r.astype(compute_dtype) if out16 else r
+            return r.astype(compute_dtype) if o16(name) else r
         return conv2d_same(t, w)
 
     def up(t):
-        """Stage outputs are bf16 under ``out16``; BeLU math stays f32."""
+        """Stage outputs may be bf16 under ``out16``; BeLU math stays f32."""
         return t.astype(jnp.float32) if out16 else t
 
     def f_activation():
@@ -181,17 +190,31 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
         b0, p0 = p["f_bias"], p["f_belu"]
         if compute_dtype is None:
             return mask * belu(conv2d_same(x, p["conv0"]) + b0, p0)  # exact
-        if zero_u8 is not None and zero_u8.shape[1] % 2 == 0 \
+        if conv0_s2d and zero_u8 is not None and zero_u8.shape[1] % 2 == 0 \
                 and zero_u8.shape[2] % 2 == 0:
             nb, sh, sw, ci = zero_u8.shape
-            w2 = _conv0_s2d_weights(
-                p["conv0"] * (256.0 / 255.0)).astype(compute_dtype)
+            w2f = _conv0_s2d_weights(p["conv0"] * (256.0 / 255.0))
             s = zero_u8.reshape(nb, sh // 2, 2, sw // 2, 2, ci) \
                 .transpose(0, 1, 3, 2, 4, 5) \
                 .reshape(nb, sh // 2, sw // 2, 4 * ci)
             t8 = s.astype(compute_dtype) * jnp.asarray(2.0 ** -8,
                                                        compute_dtype)
-            o = _conv_native(t8, w2, jnp.float32, None)
+            if conv0_ws:
+                # Two-term WEIGHT split (w = hi + lo, both bf16; masked
+                # split — see ops.conv.bf16_split) as one K=216 dot over
+                # duplicated input channels: with the u8-exact input this
+                # reproduces Precision.HIGH-class conv0 accuracy
+                # (perf_probe29-34: single-rounded bf16 conv0 weights
+                # cost ~1.3 dB fidelity / +0.02 dB GT on the f32
+                # protocol).
+                from rusty_sr_tpu.ops.conv import bf16_split
+                w_hi, w_lo = bf16_split(w2f)
+                o = _conv_native(jnp.concatenate([t8, t8], axis=-1),
+                                 jnp.concatenate([w_hi, w_lo], axis=2),
+                                 jnp.float32, None)
+            else:
+                o = _conv_native(t8, w2f.astype(compute_dtype),
+                                 jnp.float32, None)
             fp = belu(o + jnp.tile(b0, 4),
                       jnp.tile(p0, 4)).astype(compute_dtype)
             no = b0.shape[0]
@@ -202,16 +225,35 @@ def _tile_kernel(params, zero_tiles, edge_tiles, mask_tiles, factor: int,
             # odd tile side: u8-exact native conv0 (no s2d)
             t8 = zero_u8.astype(compute_dtype) * jnp.asarray(
                 2.0 ** -8, compute_dtype)
-            w0 = (p["conv0"] * (256.0 / 255.0)).astype(compute_dtype)
-            return mask * belu(
-                _conv_native(t8, w0, jnp.float32, None) + b0, p0)
-        # f32 inputs: exact two-term bf16 split of the image (x = hi + lo
-        # exactly), two cheap conv0 passes instead of one (+1.7 dB).
-        w0 = p["conv0"].astype(compute_dtype)
-        hi = x.astype(compute_dtype)
-        lo = (x - hi.astype(jnp.float32)).astype(compute_dtype)
-        c0 = (_conv_native(hi, w0, jnp.float32, None)
-              + _conv_native(lo, w0, jnp.float32, None))
+            w0f = p["conv0"] * (256.0 / 255.0)
+            if conv0_ws:  # same masked weight-split trick as the s2d branch
+                from rusty_sr_tpu.ops.conv import bf16_split
+                w_hi, w_lo = bf16_split(w0f)
+                c0 = _conv_native(jnp.concatenate([t8, t8], axis=-1),
+                                  jnp.concatenate([w_hi, w_lo], axis=2),
+                                  jnp.float32, None)
+            else:
+                c0 = _conv_native(t8, w0f.astype(compute_dtype),
+                                  jnp.float32, None)
+            return mask * belu(c0 + b0, p0)
+        # f32 inputs: two-term bf16 split of image AND weights (masked
+        # split — ops.conv.bf16_split; the convert-based split is folded
+        # to zero by XLA's allow-excess-precision rewrite, which silently
+        # degraded this branch to single-bf16 conv0 for two rounds).
+        # The three surviving cross terms (hi*w_hi + hi*w_lo + lo*w_hi;
+        # lo*w_lo is below f32 noise) run as ONE K=225 dot —
+        # Precision.HIGH-class conv0 (perf_probe29-34).
+        from rusty_sr_tpu.ops.conv import bf16_split
+        hi, lo = bf16_split(x)
+        if conv0_ws:
+            w_hi, w_lo = bf16_split(p["conv0"])
+            c0 = _conv_native(jnp.concatenate([hi, hi, lo], axis=-1),
+                              jnp.concatenate([w_hi, w_lo, w_hi], axis=2),
+                              jnp.float32, None)
+        else:
+            w0 = p["conv0"].astype(compute_dtype)
+            c0 = (_conv_native(hi, w0, jnp.float32, None)
+                  + _conv_native(lo, w0, jnp.float32, None))
         return mask * belu(c0 + b0, p0)
 
     n = p["f_bias"].shape[0]
@@ -399,6 +441,7 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
 
 def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
              chunk: int = 24, compute_dtype=None, out16=None,
+             conv0_s2d: bool = True, conv0_ws: bool = True,
              engine: str = "xla", rh: int = 16, packed=None,
              device_put: Callable = jax.device_put) -> np.ndarray:
     """Upscale (H,W,3) f32 by ``factor`` exactly, any size, one executable.
@@ -458,7 +501,8 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
             packed, z, e, m, factor, tile, rh, compute_dtype or jnp.bfloat16)
     else:
         run = lambda z, e, m: _tile_kernel(  # noqa: E731
-            params, z, e, m, factor, tile, compute_dtype, u8_io, out16)
+            params, z, e, m, factor, tile, compute_dtype, u8_io, out16,
+            conv0_s2d, conv0_ws)
 
     side = tile + 2 * h
     n_tiles = ny * nx

@@ -67,25 +67,41 @@ def main():
     for t in tiers:
         print(f"mean fidelity {t}: {np.mean(fid[t]):.2f} dB")
 
-    print("== GT delta on self-supervised pairs (HR->LR->SR vs HR) ==")
-    deltas = {t: [] for t in tiers}
-    for name in HR_IMAGES:
-        hr = load_image(f"{DOCS}/{name}")
-        h, w, _ = hr.shape
-        hr = hr[: h - h % 3, : w - w % 3]
-        lr = np.asarray(make_lr_from_hr(jnp.asarray(hr)[None], 3)[0])
-        base = psnr(run(lr), hr)
-        row = f"{name:18s} exact {base:6.2f} dB"
-        for t, kw in tiers.items():
-            d = base - psnr(run(lr, **kw), hr)
-            deltas[t].append(d)
-            row += f"  {t} Δ{d:+.4f}"
-        print(row)
-    for t in tiers:
-        md = float(np.mean(deltas[t]))
-        verdict = "PASS" if md <= 0.05 else "over budget"
-        print(f"mean GT delta {t}: {md:+.4f} dB  "
-              f"(north-star budget 0.05 dB: {verdict})")
+    # Two GT protocols.  "u8" is the PRODUCT protocol: the LR input is a
+    # u8 image (what the CLI decodes from PNG — the reference's own I/O,
+    # src/main.rs:170) and outputs are u8; this is the protocol the
+    # north-star budget is judged on.  "f32" feeds the unquantised
+    # synthesized LR and compares unquantised outputs — a stricter
+    # magnifier of tier error (no shared quantisation floor), reported
+    # for engineering honesty.
+    for mode in ("u8", "f32"):
+        print(f"== GT delta on self-supervised pairs ({mode} protocol) ==")
+        deltas = {t: [] for t in tiers}
+        for name in HR_IMAGES:
+            hr = load_image(f"{DOCS}/{name}")
+            h, w, _ = hr.shape
+            hr = hr[: h - h % 3, : w - w % 3]
+            lr = np.asarray(make_lr_from_hr(jnp.asarray(hr)[None], 3)[0])
+            if mode == "u8":
+                lr = to_u8(np.clip(lr, 0, 1))
+            scale = 255.0 if mode == "u8" else 1.0
+
+            def gt_run(**kw):
+                out = tiled_sr(params, lr, 3, tile=args.tile, **kw)
+                return np.clip(out.astype(np.float32) / scale, 0, 1)
+
+            base = psnr(gt_run(), hr)
+            row = f"{name:18s} exact {base:6.2f} dB"
+            for t, kw in tiers.items():
+                d = base - psnr(gt_run(**kw), hr)
+                deltas[t].append(d)
+                row += f"  {t} Δ{d:+.4f}"
+            print(row)
+        for t in tiers:
+            md = float(np.mean(deltas[t]))
+            verdict = "PASS" if md <= 0.05 else "over budget"
+            print(f"mean GT delta {t} ({mode}): {md:+.4f} dB  "
+                  f"(north-star budget 0.05 dB: {verdict})")
 
 
 if __name__ == "__main__":

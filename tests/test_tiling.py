@@ -121,3 +121,22 @@ def test_fast_tier_s2d_close_to_exact(anime_params, cartoon):
     assert d_exact.max() <= 8
     d_paths = np.abs(fast_s2d.astype(int) - fast_odd.astype(int))
     assert d_paths.max() <= 4  # same products, reordered bf16 accumulation
+
+
+def test_out16_bcd_variant_close_to_exact():
+    """out16='bcd' (convA output f32, 3x3 stage outputs bf16) sits between
+    out16 off and on in rounding aggressiveness; output must stay in the
+    bf16-tier class of the exact u8 path."""
+    import jax.numpy as jnp
+    from rusty_sr_tpu import params as P
+    tree = jax.tree.map(jnp.asarray, P.init_params(2, 3))
+    img = np.random.default_rng(3).integers(0, 256, (40, 34, 3),
+                                            dtype=np.uint8)
+    exact = tiled_sr(tree, img, 3, tile=16, chunk=4)
+    for o in (False, "bcd", True):
+        fast = tiled_sr(tree, img, 3, tile=16, chunk=4,
+                        compute_dtype=jnp.bfloat16, out16=o)
+        assert fast.shape == exact.shape and fast.dtype == np.uint8
+        mse = np.mean((fast / 255.0 - exact / 255.0) ** 2)
+        db = -10 * np.log10(max(mse, 1e-300))
+        assert db >= 40.0, f"out16={o}: {db:.1f} dB vs exact"
