@@ -164,3 +164,39 @@ class TestBilinearPhases:
                 np.testing.assert_array_equal(
                     got, full[:, y0:y0 + size, x0:x0 + size, :],
                     err_msg=f"f={f} crop=({y0},{x0},{size})")
+
+
+class TestBf16Split:
+    def test_split_reconstructs_and_hi_is_exact_bf16(self):
+        from rusty_sr_tpu.ops.conv import bf16_split
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.standard_normal((64, 64)).astype(np.float32))
+        hi, lo = bf16_split(v)
+        assert hi.dtype == jnp.bfloat16 and lo.dtype == jnp.bfloat16
+        # hi is exactly representable (round-trip through bf16 is lossless)
+        np.testing.assert_array_equal(np.asarray(hi.astype(jnp.float32)),
+                                      np.asarray(hi))
+        # v == hi + lo to the bf16-pair precision: lo carries the 16-bit
+        # truncation residual and rounds it to 8 bits -> error <= 2^-17|v|
+        recon = (np.asarray(hi, np.float64) + np.asarray(lo, np.float64))
+        err = np.abs(recon - np.asarray(v, np.float64))
+        assert err.max() <= 2.0 ** -16 * np.abs(np.asarray(v)).max()
+
+    def test_residual_survives_jit(self):
+        """The reason bf16_split exists: XLA's allow-excess-precision
+        rewrite folds `v - v.astype(bf16).astype(f32)` to zero inside
+        jit (upcast(downcast(v)) -> v), silently collapsing two-term
+        splits to a single bf16 rounding.  The masked split must keep a
+        nonzero residual under jit."""
+        import jax
+        from rusty_sr_tpu.ops.conv import bf16_split
+
+        @jax.jit
+        def lo_mag(v):
+            hi, lo = bf16_split(v)
+            return jnp.mean(jnp.abs(lo.astype(jnp.float32)))
+
+        rng = np.random.default_rng(1)
+        v = jnp.asarray((rng.integers(0, 256, (64, 64)) / 255.0)
+                        .astype(np.float32))
+        assert float(lo_mag(v)) > 1e-4
