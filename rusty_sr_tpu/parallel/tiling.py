@@ -89,6 +89,145 @@ def _conv0_s2d_weights(w0):
     return wg.transpose(0, 1, 2, 4, 3, 5).reshape(3, 3, 4 * ci, 4 * co)
 
 
+def _s2d_maps_k(k):
+    """s2d2 index maps for an odd k x k Same conv: 3x3 packed taps
+    (center 1), u = 2*ap + by - fy + (c - 2) with c = (k-1)//2.  The k=5
+    instance reproduces `_s2d_index_maps` exactly; k=3 needs the same 3
+    packed taps (a 2-tap window cannot reach original row y-1 for the
+    by==fy phases — verified against the direct conv to f32 noise)."""
+    c = (k - 1) // 2
+    uu = np.zeros((3, 3, 4, 4), np.int32)
+    vv = np.zeros_like(uu)
+    ok = np.zeros(uu.shape, np.float32)
+    for ap in range(3):
+        for bp in range(3):
+            for by in range(2):
+                for bx in range(2):
+                    for fy in range(2):
+                        for fx in range(2):
+                            g, ff = by * 2 + bx, fy * 2 + fx
+                            u = 2 * ap + by - fy + (c - 2)
+                            v = 2 * bp + bx - fx + (c - 2)
+                            uu[ap, bp, g, ff] = min(max(u, 0), k - 1)
+                            vv[ap, bp, g, ff] = min(max(v, 0), k - 1)
+                            ok[ap, bp, g, ff] = float(
+                                0 <= u < k and 0 <= v < k)
+    return uu, vv, ok
+
+
+def _s2d_conv_weights(w, blocks):
+    """(k,k,ci,co) -> (3,3,4ci,4co) space-to-depth packed weights with
+    BLOCK-major output channels: for sub-block b (widths `blocks`,
+    sum == co) the packed channel is 4*offset_b + ff*width_b + c_b, so
+    every merged-stage slice is a contiguous channel range in packed
+    space and per-channel params tile as jnp.tile(p, 4).  Host-side
+    (concrete arrays) — call outside jit."""
+    w = np.asarray(w, np.float32)
+    k, _, ci, co = w.shape
+    assert sum(blocks) == co
+    uu, vv, ok = _s2d_maps_k(k)
+    wg = w[uu, vv] * ok[..., None, None]          # (3,3,4g,4f,ci,co)
+    wflat = wg.transpose(0, 1, 2, 4, 3, 5).reshape(3, 3, 4 * ci, 4 * co)
+    perm = np.empty(4 * co, np.int64)
+    off = 0
+    for wb in blocks:
+        for ff in range(4):
+            for cb in range(wb):
+                perm[4 * off + ff * wb + cb] = ff * co + off + cb
+        off += wb
+    return wflat[..., perm]
+
+
+def packed_trunk_params(params, compute_dtype=jnp.bfloat16):
+    """Pre-packed weight tree for `_tile_kernel_packed` (PERF.md: the
+    emitter's rate scales super-linearly with K/N at this net's shapes,
+    so the whole trunk runs in 2x2 space-to-depth space — quarter
+    resolution, 4x channels: 797 vs 609 MPix/s, perf_probe35/36).
+    conv0 keeps the u8-exact /256 trick + masked weight split."""
+    from rusty_sr_tpu.ops.conv import bf16_split
+    p = trunk_params(params)
+    n = p["f_bias"].shape[0]
+    e = p["expand_bias"].shape[0]
+    w0f = _conv0_s2d_weights(p["conv0"] * (256.0 / 255.0))
+    w0_hi, w0_lo = bf16_split(jnp.asarray(w0f))
+    out = {
+        "W0": jnp.concatenate([w0_hi, w0_lo], axis=2),
+        "WA": jnp.asarray(_s2d_conv_weights(p["convA"], [n, n, n])
+                          ).astype(compute_dtype),
+        "WB": jnp.asarray(_s2d_conv_weights(p["convB"], [n, n, e])
+                          ).astype(compute_dtype),
+        "WC": jnp.asarray(_s2d_conv_weights(p["convC"], [n, e])
+                          ).astype(compute_dtype),
+        "WD": jnp.asarray(_s2d_conv_weights(p["conv10"], [e])
+                          ).astype(compute_dtype),
+    }
+    for k in ("f_bias", "f_belu", "l1_bias", "l1_belu", "l2_bias",
+              "l2_belu", "l3_bias", "l3_belu", "expand_bias"):
+        out[k] = jnp.tile(p[k], 4)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("factor", "tile",
+                                             "compute_dtype"))
+def _tile_kernel_packed(pp, zero_tiles, edge_tiles, mask_tiles, factor: int,
+                        tile: int, compute_dtype=jnp.bfloat16):
+    """(B, T+2h, T+2h, ·) u8 -> (B, f*T, f*T, 3) u8 — fast tier with the
+    WHOLE trunk in 2x2 space-to-depth space (quarter resolution, 4x
+    channels; block-major channel grouping keeps stage slices
+    contiguous).  Numerically the same products as `_tile_kernel`'s fast
+    path (bf16-class identical; quality gated by the same GT-budget
+    harness).  Requires u8 tiles with an even padded side."""
+    from rusty_sr_tpu.ops.activations import belu
+    from rusty_sr_tpu.ops.conv import _conv_native
+    from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
+    from rusty_sr_tpu.ops.resize import bilinear_phases_cropped
+
+    h = HALO
+    cd = compute_dtype
+    nb, sh, sw, ci = zero_tiles.shape
+    ph, pw = sh // 2, sw // 2
+    n = pp["f_bias"].shape[0] // 4
+    e = pp["expand_bias"].shape[0] // 4
+
+    s = zero_tiles.reshape(nb, ph, 2, pw, 2, ci) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(nb, ph, pw, 4 * ci)
+    t8 = s.astype(cd) * jnp.asarray(2.0 ** -8, cd)
+    o = _conv_native(jnp.concatenate([t8, t8], -1), pp["W0"],
+                     jnp.float32, None)
+    m4 = mask_tiles.reshape(nb, ph, 2, pw, 2, 1) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(nb, ph, pw, 4).astype(cd)
+    mN = jnp.repeat(m4, n, axis=-1)
+    f_ = belu(o + pp["f_bias"], pp["f_belu"]).astype(cd) * mN
+
+    def cv(t, W):
+        return _conv_native(t, W, jnp.float32, None).astype(cd)
+
+    def up(t):
+        return t.astype(jnp.float32)
+
+    N = 4 * n
+    a = cv(f_, pp["WA"])
+    l1 = belu(up(a[..., :N]) + pp["l1_bias"], pp["l1_belu"]) \
+        .astype(cd) * mN
+    b = cv(l1, pp["WB"])
+    l2 = belu(up(a[..., N:2 * N]) + up(b[..., :N]) + pp["l2_bias"],
+              pp["l2_belu"]).astype(cd) * mN
+    c = cv(l2, pp["WC"])
+    l3 = belu(up(a[..., 2 * N:3 * N]) + up(b[..., N:2 * N])
+              + up(c[..., :N]) + pp["l3_bias"], pp["l3_belu"]) \
+        .astype(cd) * mN
+    d = cv(l3, pp["WD"])
+    exp_pk = (up(b[..., 2 * N:2 * N + 4 * e]) + up(c[..., N:N + 4 * e])
+              + up(d) + pp["expand_bias"])
+    ex = exp_pk.reshape(nb, ph, pw, 2, 2, e) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(nb, sh, sw, e)
+    base_ph = bilinear_phases_cropped(
+        edge_tiles.astype(jnp.float32) * (1.0 / 255.0), factor, h, h, tile)
+    total = base_ph + ex[:, h:h + tile, h:h + tile, :]
+    total = jnp.floor(jnp.clip(total, 0.0, 1.0) * 255.0 + 0.5)
+    return depth_to_space(total, factor).astype(jnp.uint8)
+
+
 def trunk_params(params):
     """Exactly the (merged-conv) keys `_tile_kernel` consumes.
 
@@ -400,8 +539,13 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     outs = [np.zeros((m[2] * factor, m[3] * factor, 3), out_dtype)
             for m in metas]
 
-    run = lambda z, e, m: _tile_kernel(  # noqa: E731
-        params, z, e, m, factor, tile, compute_dtype, u8_io, out16)
+    if compute_dtype is not None and u8_io and (tile + 2 * h) % 2 == 0:
+        pp = packed_trunk_params(params, compute_dtype)
+        run = lambda z, e, m: _tile_kernel_packed(  # noqa: E731
+            pp, z, e, m, factor, tile, compute_dtype)
+    else:
+        run = lambda z, e, m: _tile_kernel(  # noqa: E731
+            params, z, e, m, factor, tile, compute_dtype, u8_io, out16)
 
     pending = []
     for g0 in range(0, n_tiles, chunk):
@@ -442,6 +586,7 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
 def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
              chunk: int = 24, compute_dtype=None, out16=None,
              conv0_s2d: bool = True, conv0_ws: bool = True,
+             trunk: str = "auto",
              engine: str = "xla", rh: int = 16, packed=None,
              device_put: Callable = jax.device_put) -> np.ndarray:
     """Upscale (H,W,3) f32 by ``factor`` exactly, any size, one executable.
@@ -499,6 +644,14 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
             rh = next(d for d in range(rh, 0, -1) if tile % d == 0)
         run = lambda z, e, m: _tile_kernel_fused(  # noqa: E731
             packed, z, e, m, factor, tile, rh, compute_dtype or jnp.bfloat16)
+    elif trunk != "flat" and compute_dtype is not None and u8_io \
+            and (tile + 2 * h) % 2 == 0:
+        # Fast tier, u8, even padded side: the space-to-depth packed
+        # trunk (quarter res, 4x channels) — 797 vs 609 MPix/s on v5e
+        # (perf_probe36); bf16-class identical products.
+        pp = packed_trunk_params(params, compute_dtype)
+        run = lambda z, e, m: _tile_kernel_packed(  # noqa: E731
+            pp, z, e, m, factor, tile, compute_dtype)
     else:
         run = lambda z, e, m: _tile_kernel(  # noqa: E731
             params, z, e, m, factor, tile, compute_dtype, u8_io, out16,
