@@ -26,13 +26,19 @@ import jax.numpy as jnp
 
 def main():
     from rusty_sr_tpu import load_builtin
-    from rusty_sr_tpu.parallel.tiling import _tile_kernel, trunk_params, HALO
+    from rusty_sr_tpu.parallel.tiling import (_tile_kernel_packed,
+                                              packed_trunk_params,
+                                              trunk_params, HALO)
 
     factor = 3
-    tile, batch = 242, 24  # best measured (scripts/perf_probe14,17-19)
+    # Best measured shape of the PRODUCT packed-trunk kernel — the same
+    # executable tiled_sr auto-dispatches on the u8 fast tier; the chunk
+    # ladder picks 112 for any large image (scripts/perf_probe36-38;
+    # hard HBM cliff at B=116).
+    tile, batch = 242, 112
     side = tile + 2 * HALO
-    params = trunk_params(
-        {k: jnp.asarray(v) for k, v in load_builtin("imagenet").items()})
+    params = packed_trunk_params(trunk_params(
+        {k: jnp.asarray(v) for k, v in load_builtin("imagenet").items()}))
 
     rng = np.random.default_rng(0)
     z = jnp.asarray((rng.random((batch, side, side, 3)) * 255)
@@ -50,8 +56,8 @@ def main():
     iters = 20
 
     def one_pass(zz):
-        out = _tile_kernel(params, zz, e, m, factor, tile, jnp.bfloat16, True,
-                           True)
+        out = _tile_kernel_packed(params, zz, e, m, factor, tile,
+                                  jnp.bfloat16)
         # fold the HR u8 output back into the u8 input for the dependency
         return jnp.bitwise_xor(out[:, :side, :side, :], zz)
 

@@ -33,7 +33,7 @@ def _resolve_params(weights: Union[str, dict], factor: int):
 
 def upscale(image: np.ndarray, weights: Union[str, dict] = "imagenet",
             factor: int = 3, *, fast: bool = False, engine: str = "xla",
-            tile: int = 242, chunk: int = 24) -> np.ndarray:
+            tile: int = 242, chunk: Optional[int] = None) -> np.ndarray:
     """Upscale an (H,W,3) f32 sRGB image by `factor`.
 
     ``weights``: builtin name ('imagenet', 'imagenetlinear', 'anime'), a

@@ -50,8 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="upscale factor (reference hardcodes 3; custom weights must match)")
     p.add_argument("--tile", type=int, default=242,
                    help="LR tile size for overlap-tile inference")
-    p.add_argument("--chunk", type=int, default=24,
-                   help="tiles per device dispatch")
+    p.add_argument("--chunk", type=int, default=None,
+                   help="tiles per device dispatch (default: picked per "
+                        "image from the measured throughput ladder)")
     p.add_argument("--fast", action="store_true",
                    help="bf16 conv trunk (higher throughput, ~1 code max deviation)")
     p.add_argument("--engine", choices=["xla", "int8", "fused"], default="xla",
@@ -337,7 +338,7 @@ def build_watch_parser() -> argparse.ArgumentParser:
     w.add_argument("--fast", action="store_true",
                    help="bf16 conv trunk (higher throughput)")
     w.add_argument("--tile", type=int, default=242)
-    w.add_argument("--chunk", type=int, default=24)
+    w.add_argument("--chunk", type=int, default=None)
     w.add_argument("--poll", type=float, default=1.0,
                    help="seconds between folder scans")
     w.add_argument("--once", action="store_true",

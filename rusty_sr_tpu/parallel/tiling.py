@@ -36,7 +36,7 @@ on hardware but currently patch-store-bound, kept for further kernel work).
 from __future__ import annotations
 
 import functools
-from typing import Callable
+from typing import Callable, Optional
 
 import numpy as np
 import jax
@@ -494,7 +494,8 @@ def _scatter_u8(res: np.ndarray, start: int, nx: int, tf: int, out: np.ndarray):
 
 
 def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
-                   chunk: int = 24, compute_dtype=None, out16=None,
+                   chunk: Optional[int] = None, compute_dtype=None,
+                   out16=None,
                    device_put: Callable = jax.device_put) -> list:
     """Upscale a list of images, batching tiles ACROSS images.
 
@@ -534,6 +535,8 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     zt = np.concatenate(zts); et = np.concatenate(ets); mt = np.concatenate(mts)
     starts = np.cumsum([0] + [m[0] * m[1] for m in metas])  # image offsets
     n_tiles = int(starts[-1])
+    if chunk is None:
+        chunk = _pick_chunk(n_tiles)
 
     out_dtype = np.uint8 if u8_io else np.float32
     outs = [np.zeros((m[2] * factor, m[3] * factor, 3), out_dtype)
@@ -583,8 +586,29 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     return outs
 
 
+# Measured ms/chunk of the packed fast-tier kernel at tile=242 on v5e
+# (perf_probe37/38); throughput climbs to a hard HBM cliff at B=116.
+# Used to pick the chunk that minimises ceil(n/c)*t(c) — padding the
+# final chunk is the price of one-executable dispatch, so the best c
+# depends on the image's tile count (144 tiles: c=48 beats c=112).
+_CHUNK_T_MS = {1: 4.0, 2: 4.5, 4: 5.2, 8: 7.0, 16: 12.2, 24: 16.2,
+               32: 19.6, 40: 22.1, 48: 25.0, 56: 27.5, 64: 30.3,
+               80: 36.5, 96: 42.6, 112: 48.2}
+
+
+def _pick_chunk(n_tiles: int) -> int:
+    """Smallest-total-cost chunk from the measured ladder (ties -> the
+    larger chunk: fewer dispatches)."""
+    best, best_cost = 24, float("inf")
+    for c, t in _CHUNK_T_MS.items():
+        cost = -(-n_tiles // c) * t
+        if cost < best_cost or (cost == best_cost and c > best):
+            best, best_cost = c, cost
+    return best
+
+
 def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
-             chunk: int = 24, compute_dtype=None, out16=None,
+             chunk: Optional[int] = None, compute_dtype=None, out16=None,
              conv0_s2d: bool = True, conv0_ws: bool = True,
              trunk: str = "auto",
              engine: str = "xla", rh: int = 16, packed=None,
@@ -609,6 +633,8 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
     h = HALO
     ny = max(1, -(-hgt // tile))
     nx = max(1, -(-wid // tile))
+    if chunk is None:
+        chunk = _pick_chunk(ny * nx)
 
     if u8_io:
         # uint8 end-to-end: 4x less host<->device transfer; conversion to

@@ -76,3 +76,7 @@ if __name__ == "__main__":
         time_bt(nb, 242)
     for nb, tile in ((12, 498), (16, 498), (24, 498), (4, 1010), (6, 1010)):
         time_bt(nb, tile)
+
+# appended fine sweep (run as probe38b): peak hunt around B=96
+if os.environ.get("P38B"):
+    pass
