@@ -101,7 +101,10 @@ def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
     collectives needed on the forward path; results gather to host).
     """
     from rusty_sr_tpu.parallel.tiling import (HALO, _gather_u8, _scatter_u8,
-                                              _tile_kernel, trunk_params)
+                                              _pick_chunk, _tile_kernel,
+                                              _tile_kernel_packed,
+                                              packed_trunk_params,
+                                              trunk_params)
     from rusty_sr_tpu.utils import native
 
     if out16 is None:   # match the single-chip fast-tier default
@@ -121,9 +124,14 @@ def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
 
     side = tile + 2 * h
     n_tiles = ny * nx
-    chunk = n_data * max(1, min(8, -(-n_tiles // n_data)))
+    # per-device chunk from the single-chip ladder (the ladder's HBM
+    # cliff is per chip), replicated over the data axis
+    chunk = n_data * _pick_chunk(max(1, -(-n_tiles // n_data)))
     sh = NamedSharding(mesh, P("data", None, None, None))
     repl = NamedSharding(mesh, P())
+    use_packed = (compute_dtype is not None and u8_io and side % 2 == 0)
+    if use_packed:
+        pp = jax.device_put(packed_trunk_params(params, compute_dtype), repl)
     params = jax.device_put(params, repl)
 
     out_dtype = np.uint8 if u8_io else np.float32
@@ -138,9 +146,15 @@ def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
             zb = np.concatenate([zb, np.zeros((fill, side, side, 3), zt.dtype)])
             eb = np.concatenate([eb, np.zeros((fill, side, side, 3), et.dtype)])
             mb = np.concatenate([mb, np.zeros((fill, side, side, 1), mt.dtype)])
-        res = _tile_kernel(params, jax.device_put(zb, sh),
-                           jax.device_put(eb, sh), jax.device_put(mb, sh),
-                           factor, tile, compute_dtype, u8_io, out16)
+        if use_packed:
+            res = _tile_kernel_packed(
+                pp, jax.device_put(zb, sh), jax.device_put(eb, sh),
+                jax.device_put(mb, sh), factor, tile, compute_dtype)
+        else:
+            res = _tile_kernel(params, jax.device_put(zb, sh),
+                               jax.device_put(eb, sh),
+                               jax.device_put(mb, sh),
+                               factor, tile, compute_dtype, u8_io, out16)
         if u8_io:
             _scatter_u8(np.asarray(res[:cnt]), start, nx, tf, out)
         else:
