@@ -131,7 +131,8 @@ def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
     repl = NamedSharding(mesh, P())
     use_packed = (compute_dtype is not None and u8_io and side % 2 == 0)
     if use_packed:
-        pp = jax.device_put(packed_trunk_params(params, compute_dtype), repl)
+        pp = jax.device_put(packed_trunk_params(params, compute_dtype,
+                                                 factor), repl)
     params = jax.device_put(params, repl)
 
     out_dtype = np.uint8 if u8_io else np.float32

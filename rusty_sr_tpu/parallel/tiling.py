@@ -138,18 +138,52 @@ def _s2d_conv_weights(w, blocks):
     return wflat[..., perm]
 
 
-def packed_trunk_params(params, compute_dtype=jnp.bfloat16):
+def _base_conv_weights(f, C=3):
+    """(3,3,C,f*f*C): `LinearInterp` xf as a Same conv at LR.  The
+    half-pixel phase taps span < 1 px for every factor, so a 3x3 kernel
+    always suffices; output channel (fy*f+fx)*C + c matches the
+    expand/d2s order (SURVEY.md 8.5-8.6); edge-replicated input tiles
+    reproduce the clamp at true image borders."""
+    wr = np.zeros((f, 3), np.float64)
+    for i in range(f):
+        c0 = (i + 0.5) / f - 0.5
+        lo = int(np.floor(c0))
+        frac = c0 - lo
+        wr[i, lo + 1] += 1.0 - frac
+        wr[i, lo + 2] += frac
+    W = np.zeros((3, 3, C, f * f * C), np.float32)
+    for fy in range(f):
+        for fx in range(f):
+            for dy in range(3):
+                for dx in range(3):
+                    for c in range(C):
+                        W[dy, dx, c, (fy * f + fx) * C + c] = \
+                            wr[fy, dy] * wr[fx, dx]
+    return W
+
+
+def packed_trunk_params(params, compute_dtype=jnp.bfloat16, factor=3):
     """Pre-packed weight tree for `_tile_kernel_packed` (PERF.md: the
     emitter's rate scales super-linearly with K/N at this net's shapes,
     so the whole trunk runs in 2x2 space-to-depth space — quarter
-    resolution, 4x channels: 797 vs 609 MPix/s, perf_probe35/36).
-    conv0 keeps the u8-exact /256 trick + masked weight split."""
+    resolution, 4x channels: 797 vs 609 MPix/s at B=24,
+    perf_probe35/36).  conv0 keeps the u8-exact /256 trick + masked
+    weight split; the bilinear BASE rides as extra (weight-split) K rows
+    of the conv10 dot reading the packed edge tiles, so the whole
+    HR-sized f32 base/sum tail collapses into the f32 accumulator +
+    packed-space quantisation (46.8 -> 37.7 ms/pass at B=112,
+    perf_probe39/40)."""
     from rusty_sr_tpu.ops.conv import bf16_split
     p = trunk_params(params)
     n = p["f_bias"].shape[0]
     e = p["expand_bias"].shape[0]
     w0f = _conv0_s2d_weights(p["conv0"] * (256.0 / 255.0))
     w0_hi, w0_lo = bf16_split(jnp.asarray(w0f))
+    wd = jnp.asarray(_s2d_conv_weights(p["conv10"], [e])
+                     ).astype(compute_dtype)
+    wb = _s2d_conv_weights(
+        _base_conv_weights(factor) * (256.0 / 255.0), [e])
+    wb_hi, wb_lo = bf16_split(jnp.asarray(wb))
     out = {
         "W0": jnp.concatenate([w0_hi, w0_lo], axis=2),
         "WA": jnp.asarray(_s2d_conv_weights(p["convA"], [n, n, n])
@@ -158,8 +192,7 @@ def packed_trunk_params(params, compute_dtype=jnp.bfloat16):
                           ).astype(compute_dtype),
         "WC": jnp.asarray(_s2d_conv_weights(p["convC"], [n, e])
                           ).astype(compute_dtype),
-        "WD": jnp.asarray(_s2d_conv_weights(p["conv10"], [e])
-                          ).astype(compute_dtype),
+        "WD": jnp.concatenate([wd, wb_hi, wb_lo], axis=2),
     }
     for k in ("f_bias", "f_belu", "l1_bias", "l1_belu", "l2_bias",
               "l2_belu", "l3_bias", "l3_belu", "expand_bias"):
@@ -174,13 +207,16 @@ def _tile_kernel_packed(pp, zero_tiles, edge_tiles, mask_tiles, factor: int,
     """(B, T+2h, T+2h, ·) u8 -> (B, f*T, f*T, 3) u8 — fast tier with the
     WHOLE trunk in 2x2 space-to-depth space (quarter resolution, 4x
     channels; block-major channel grouping keeps stage slices
-    contiguous).  Numerically the same products as `_tile_kernel`'s fast
-    path (bf16-class identical; quality gated by the same GT-budget
-    harness).  Requires u8 tiles with an even padded side."""
+    contiguous).  The bilinear base arrives as extra K rows of the
+    conv10 dot (see packed_trunk_params), the expand+base sum lives in
+    the dot's f32 accumulator, and quantisation happens in packed space
+    — the only full-resolution ops left are u8 unpack/crop/d2s.
+    Numerically the same products as `_tile_kernel`'s fast path
+    (bf16-class identical; gated by the same GT-budget harness).
+    Requires u8 tiles with an even padded side."""
     from rusty_sr_tpu.ops.activations import belu
     from rusty_sr_tpu.ops.conv import _conv_native
     from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
-    from rusty_sr_tpu.ops.resize import bilinear_phases_cropped
 
     h = HALO
     cd = compute_dtype
@@ -189,13 +225,16 @@ def _tile_kernel_packed(pp, zero_tiles, edge_tiles, mask_tiles, factor: int,
     n = pp["f_bias"].shape[0] // 4
     e = pp["expand_bias"].shape[0] // 4
 
-    s = zero_tiles.reshape(nb, ph, 2, pw, 2, ci) \
-        .transpose(0, 1, 3, 2, 4, 5).reshape(nb, ph, pw, 4 * ci)
-    t8 = s.astype(cd) * jnp.asarray(2.0 ** -8, cd)
+    def pack(t):
+        c = t.shape[-1]
+        return t.reshape(nb, ph, 2, pw, 2, c) \
+            .transpose(0, 1, 3, 2, 4, 5).reshape(nb, ph, pw, 4 * c)
+
+    t8 = pack(zero_tiles).astype(cd) * jnp.asarray(2.0 ** -8, cd)
+    te8 = pack(edge_tiles).astype(cd) * jnp.asarray(2.0 ** -8, cd)
     o = _conv_native(jnp.concatenate([t8, t8], -1), pp["W0"],
                      jnp.float32, None)
-    m4 = mask_tiles.reshape(nb, ph, 2, pw, 2, 1) \
-        .transpose(0, 1, 3, 2, 4, 5).reshape(nb, ph, pw, 4).astype(cd)
+    m4 = pack(mask_tiles).astype(cd)
     mN = jnp.repeat(m4, n, axis=-1)
     f_ = belu(o + pp["f_bias"], pp["f_belu"]).astype(cd) * mN
 
@@ -216,16 +255,15 @@ def _tile_kernel_packed(pp, zero_tiles, edge_tiles, mask_tiles, factor: int,
     l3 = belu(up(a[..., 2 * N:3 * N]) + up(b[..., N:2 * N])
               + up(c[..., :N]) + pp["l3_bias"], pp["l3_belu"]) \
         .astype(cd) * mN
-    d = cv(l3, pp["WD"])
-    exp_pk = (up(b[..., 2 * N:2 * N + 4 * e]) + up(c[..., N:N + 4 * e])
-              + up(d) + pp["expand_bias"])
-    ex = exp_pk.reshape(nb, ph, pw, 2, 2, e) \
+    d = _conv_native(jnp.concatenate([l3, te8, te8], -1), pp["WD"],
+                     jnp.float32, None)      # conv10 + BASE, f32 accum
+    total = (up(b[..., 2 * N:2 * N + 4 * e]) + up(c[..., N:N + 4 * e])
+             + d + pp["expand_bias"])
+    tq = jnp.floor(jnp.clip(total, 0.0, 1.0) * 255.0 + 0.5) \
+        .astype(jnp.uint8)
+    ex = tq.reshape(nb, ph, pw, 2, 2, e) \
         .transpose(0, 1, 3, 2, 4, 5).reshape(nb, sh, sw, e)
-    base_ph = bilinear_phases_cropped(
-        edge_tiles.astype(jnp.float32) * (1.0 / 255.0), factor, h, h, tile)
-    total = base_ph + ex[:, h:h + tile, h:h + tile, :]
-    total = jnp.floor(jnp.clip(total, 0.0, 1.0) * 255.0 + 0.5)
-    return depth_to_space(total, factor).astype(jnp.uint8)
+    return depth_to_space(ex[:, h:h + tile, h:h + tile, :], factor)
 
 
 def trunk_params(params):
@@ -543,7 +581,7 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
             for m in metas]
 
     if compute_dtype is not None and u8_io and (tile + 2 * h) % 2 == 0:
-        pp = packed_trunk_params(params, compute_dtype)
+        pp = packed_trunk_params(params, compute_dtype, factor)
         run = lambda z, e, m: _tile_kernel_packed(  # noqa: E731
             pp, z, e, m, factor, tile, compute_dtype)
     else:
@@ -675,7 +713,7 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
         # Fast tier, u8, even padded side: the space-to-depth packed
         # trunk (quarter res, 4x channels) — 797 vs 609 MPix/s on v5e
         # (perf_probe36); bf16-class identical products.
-        pp = packed_trunk_params(params, compute_dtype)
+        pp = packed_trunk_params(params, compute_dtype, factor)
         run = lambda z, e, m: _tile_kernel_packed(  # noqa: E731
             pp, z, e, m, factor, tile, compute_dtype)
     else:
