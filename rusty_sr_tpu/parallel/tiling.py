@@ -624,14 +624,15 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     return outs
 
 
-# Measured ms/chunk of the packed fast-tier kernel at tile=242 on v5e
-# (perf_probe37/38); throughput climbs to a hard HBM cliff at B=116.
-# Used to pick the chunk that minimises ceil(n/c)*t(c) — padding the
-# final chunk is the price of one-executable dispatch, so the best c
-# depends on the image's tile count (144 tiles: c=48 beats c=112).
-_CHUNK_T_MS = {1: 4.0, 2: 4.5, 4: 5.2, 8: 7.0, 16: 12.2, 24: 16.2,
-               32: 19.6, 40: 22.1, 48: 25.0, 56: 27.5, 64: 30.3,
-               80: 36.5, 96: 42.6, 112: 48.2}
+# Measured ms/chunk of the packed fast-tier kernel (merged-base form) at
+# tile=242 on v5e (perf_probe40-42); throughput climbs to a hard HBM
+# cliff just past B=112.  Used to pick the chunk that minimises
+# ceil(n/c)*t(c) — padding the final chunk is the price of
+# one-executable dispatch, so the best c depends on the image's tile
+# count.
+_CHUNK_T_MS = {1: 3.8, 2: 4.3, 4: 5.2, 8: 6.1, 16: 8.9, 24: 11.8,
+               32: 14.6, 40: 17.1, 48: 19.5, 56: 21.9, 64: 24.2,
+               80: 29.0, 96: 33.5, 112: 38.3}
 
 
 def _pick_chunk(n_tiles: int) -> int:
