@@ -119,6 +119,11 @@ def build_train_parser() -> argparse.ArgumentParser:
                         "(batch shards over 'data', image height over "
                         "'spatial', conv channels + optimizer state over "
                         "'model'; XLA inserts the collectives)")
+    t.add_argument("--amp", action="store_true",
+                   help="mixed-precision training: bf16 conv trunk in the "
+                        "forward/backward pass, f32 master weights and "
+                        "optimizer state (on v5e the bf16 conv backward "
+                        "is SLOWER below batch ~128 — see PERF.md)")
     t.add_argument("--batch", type=int, default=None,
                    help="batch size (reference default 4); must divide "
                         "evenly over the mesh 'data' axis")
@@ -437,7 +442,7 @@ def run_train(args) -> int:
             return 2
 
     cfg = TrainConfig(factor=args.factor, linear_loss=args.linear_loss,
-                      loss_kind=args.loss)
+                      loss_kind=args.loss, amp=getattr(args, "amp", False))
     if args.batch is not None:
         cfg.batch_size = args.batch
     if mesh is not None and cfg.batch_size % mesh.shape["data"] != 0:

@@ -51,6 +51,16 @@ class TrainConfig:
     checkpoint_every: int = 100    # src/main.rs:211
     val_every: int = 100           # src/main.rs:233
     remat: bool = False            # jax.checkpoint the forward (big crops)
+    amp: bool = False              # mixed precision: bf16 conv trunk in the
+    #                                fwd/bwd pass, f32 master weights/Adam
+    #                                state/loss (classic AMP; no reference
+    #                                equivalent).  CAVEAT measured on v5e:
+    #                                the bf16 conv BACKWARD lowers to a
+    #                                slow emitter path — batch 4: 54 vs
+    #                                1.8 ms/step (!); it only wins at
+    #                                batch >= ~128 (950 vs 1669 ms).
+    #                                Correctness is tested; use where the
+    #                                toolchain lowers bf16 grads well.
 
 
 def loss_fn(params, hr, cfg: TrainConfig):
@@ -60,9 +70,13 @@ def loss_fn(params, hr, cfg: TrainConfig):
     (jax.checkpoint) — trades FLOPs for HBM when training on large crops.
     """
     lr = make_lr_from_hr(hr, cfg.factor)
-    fwd = sr_apply
+    cd = jnp.bfloat16 if cfg.amp else None
+
+    def fwd(p, x, f):
+        return sr_apply(p, x, f, compute_dtype=cd)
+
     if cfg.remat:
-        fwd = jax.checkpoint(sr_apply, static_argnums=(2,))
+        fwd = jax.checkpoint(fwd, static_argnums=(2,))
     out = fwd(params, lr, cfg.factor)
     if cfg.linear_loss:
         a, b = srgb_to_linear(out), srgb_to_linear(hr)

@@ -206,3 +206,30 @@ class TestData:
         buf._thread.join(timeout=5.0)
         assert not buf._thread.is_alive()
         assert buf.next_batch() is None
+
+
+def test_mixed_precision_training_converges():
+    """cfg.amp (bf16 trunk fwd/bwd, f32 master weights) must train:
+    finite f32 grads on every param, and loss within a few percent of the
+    f32 step's loss on the same batch."""
+    cfg32 = TrainConfig(factor=3, batch_size=2, crop=24)
+    cfg16 = TrainConfig(factor=3, batch_size=2, crop=24, amp=True)
+    hr = RNG.random((2, 24, 24, 3), dtype=np.float32)
+    p0 = jax.tree.map(jnp.asarray, P.init_params(5, 3))
+
+    p1_host = jax.tree.map(np.asarray, p0)  # step donates its inputs
+    s32, o32 = make_train_step(cfg32)
+    p32, st32, l32, _ = s32(p0, o32.init(p0), jnp.asarray(hr))
+    p1 = jax.tree.map(jnp.asarray, P.init_params(5, 3))
+    s16, o16 = make_train_step(cfg16)
+    p16, st16, l16, _ = s16(p1, o16.init(p1), jnp.asarray(hr))
+
+    assert np.isfinite(float(l16))
+    assert abs(float(l16) - float(l32)) < 0.05 * abs(float(l32)) + 1e-4
+    for k in p16:
+        assert p16[k].dtype == jnp.float32, k          # master weights f32
+        assert np.all(np.isfinite(np.asarray(p16[k]))), k
+    # the update actually moved the params
+    moved = sum(float(np.abs(np.asarray(p16[k]) - p1_host[k]).max())
+                for k in p16)
+    assert moved > 0.0
