@@ -140,3 +140,20 @@ def test_out16_bcd_variant_close_to_exact():
         mse = np.mean((fast / 255.0 - exact / 255.0) ** 2)
         db = -10 * np.log10(max(mse, 1e-300))
         assert db >= 40.0, f"out16={o}: {db:.1f} dB vs exact"
+
+
+def test_packed_fast_tier_tiny_image_single_tile():
+    """An image much smaller than one tile runs the packed fast tier as a
+    single mask-heavy tile; border semantics must hold (>= 40 dB vs the
+    exact tier, shape/dtype right)."""
+    import jax.numpy as jnp
+    from rusty_sr_tpu import params as P
+    tree = jax.tree.map(jnp.asarray, P.init_params(4, 3))
+    img = np.random.default_rng(9).integers(0, 256, (12, 10, 3),
+                                            dtype=np.uint8)
+    exact = tiled_sr(tree, img, 3, tile=64, chunk=1)
+    fast = tiled_sr(tree, img, 3, tile=64, chunk=1,
+                    compute_dtype=jnp.bfloat16)
+    assert fast.shape == (36, 30, 3) and fast.dtype == np.uint8
+    mse = np.mean((fast / 255.0 - exact / 255.0) ** 2)
+    assert -10 * np.log10(max(mse, 1e-300)) >= 40.0
