@@ -1,11 +1,12 @@
 """Headline benchmark: sustained SR throughput (HR megapixels/sec/chip).
 
-Times the PRODUCT device path — the merged-conv overlap-tile kernel with
-u8 device I/O that `tiled_sr` (and therefore the CLI) dispatches — at its
-best measured shape (tile=242 -> 256-wide lane-aligned padded tiles,
-batch 16; scripts/perf_probe14.py).  Throughput counts only the useful
-(de-haloed) HR output pixels, so this is the rate a user's pixels are
-actually produced at, not a raw-FLOP number.
+Times the PRODUCT device path — the space-to-depth PACKED trunk kernel
+(`_tile_kernel_packed`) with u8 device I/O that `tiled_sr` (and therefore
+the CLI) auto-dispatches on the fast tier — at its best measured shape
+(tile=242 -> 256-wide lane-aligned padded tiles, batch 112: the chunk the
+ladder picks for any large image; scripts/perf_probe36-42).  Throughput
+counts only the useful (de-haloed) HR output pixels, so this is the rate
+a user's pixels are actually produced at, not a raw-FLOP number.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is the fraction of the 1 GPix/s-per-chip north-star target

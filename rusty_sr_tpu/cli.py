@@ -113,6 +113,12 @@ def build_train_parser() -> argparse.ArgumentParser:
     t.add_argument("--ckpt_dir", metavar="DIR", default=None,
                    help="also write orbax native checkpoints (params + "
                         "optimizer state, resumable) to DIR")
+    t.add_argument("--resume", metavar="DIR", nargs="?", const="",
+                   default=None,
+                   help="resume from the latest native checkpoint in DIR "
+                        "(default: --ckpt_dir), restoring params, "
+                        "optimizer state and the step counter — unlike "
+                        "-s/--start, which loads bare params only")
     t.add_argument("--mesh", metavar="SPEC", default=None,
                    help="parallel training over a device mesh: "
                         "'data=N[,spatial=M][,model=K]' or just 'N' "
@@ -127,6 +133,18 @@ def build_train_parser() -> argparse.ArgumentParser:
     t.add_argument("--batch", type=int, default=None,
                    help="batch size (reference default 4); must divide "
                         "evenly over the mesh 'data' axis")
+    t.add_argument("--coordinator", metavar="HOST:PORT", default=None,
+                   help="multi-host training: coordinator address for "
+                        "jax.distributed (run the same command on every "
+                        "host with its own --process_id); each host "
+                        "feeds a disjoint stripe of TRAINING_FOLDER over "
+                        "DCN while gradients sync over ICI")
+    t.add_argument("--num_processes", type=int, default=None,
+                   help="multi-host training: total number of processes")
+    t.add_argument("--process_id", type=int, default=None,
+                   help="multi-host training: this process's id (0-based; "
+                        "process 0 hosts the coordinator and writes "
+                        "checkpoints/validation output)")
     t.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                    help="force a JAX platform (default: environment's)")
     t.add_argument("--trace", metavar="DIR", default=None,
@@ -210,7 +228,7 @@ def run_upscale(args) -> int:
                       file=sys.stderr)
                 return 2
             out = tiled_sr_sharded(tree, img_u8, mesh, args.factor,
-                                   tile=args.tile,
+                                   tile=args.tile, chunk=args.chunk,
                                    compute_dtype=compute_dtype)
             print(" Writing file...", end="", flush=True)
             try:
@@ -254,6 +272,18 @@ def run_upscale(args) -> int:
     return 0
 
 
+def _output_names(paths) -> list:
+    """Output file names (stem.png) for a batch of input paths,
+    disambiguated when two inputs share a stem: 'a.png' and 'a.jpg'
+    would otherwise both map to 'a.png' and silently overwrite each
+    other, so colliding inputs keep their full original name
+    ('a.png.png', 'a.jpg.png')."""
+    stems = [os.path.splitext(os.path.basename(f))[0] for f in paths]
+    dup = {s for s in stems if stems.count(s) > 1}
+    return [(os.path.basename(f) if s in dup else s) + ".png"
+            for f, s in zip(paths, stems)]
+
+
 def _run_upscale_folder(args) -> int:
     """Folder mode: upscale every image in INPUT_FILE into OUTPUT_FILE/,
     batching tiles across images to amortise per-dispatch fixed costs."""
@@ -270,9 +300,8 @@ def _run_upscale_folder(args) -> int:
         print(f"error: no images found in {args.INPUT_FILE!r}", file=sys.stderr)
         return 1
     os.makedirs(args.OUTPUT_FILE, exist_ok=True)
-    out_paths = [os.path.join(
-        args.OUTPUT_FILE, os.path.splitext(os.path.basename(f))[0] + ".png")
-        for f in files]
+    out_paths = [os.path.join(args.OUTPUT_FILE, n)
+                 for n in _output_names(files)]
     images, keep = [], []
     for i, f in enumerate(files):
         try:
@@ -406,13 +435,24 @@ def run_watch(args) -> int:
                 outs = tiled_sr_batch(tree, batch_imgs, args.factor,
                                       tile=args.tile, chunk=args.chunk,
                                       compute_dtype=compute_dtype)
-                for (f, mt), out in zip(batch_paths, outs):
-                    name = os.path.splitext(os.path.basename(f))[0] + ".png"
-                    save_image_u8(os.path.join(args.OUTPUT_DIR, name), out)
+                names = _output_names([f for f, _ in batch_paths])
+                n_ok = 0
+                for (f, mt), name, out in zip(batch_paths, names, outs):
+                    try:
+                        # an unwritable output (disk full, permissions)
+                        # must not kill the resident watcher mid-batch
+                        save_image_u8(os.path.join(args.OUTPUT_DIR, name),
+                                      out)
+                    except OSError as e:
+                        fails[f] = fails.get(f, 0) + 1
+                        print(f"could not write {name}: {e}",
+                              file=sys.stderr)
+                        continue
                     done[f] = mt
                     fails.pop(f, None)
+                    n_ok += 1
                 px = sum(o.shape[0] * o.shape[1] for o in outs) / 1e6
-                print(f"upscaled {len(outs)} image(s), {px:.1f} HR MPix "
+                print(f"upscaled {n_ok} image(s), {px:.1f} HR MPix "
                       f"in {time.time() - t0:.2f}s", flush=True)
             if args.once:
                 return 0
@@ -427,11 +467,38 @@ def run_train(args) -> int:
         # clap: .requires("VALIDATION_FOLDER") (reference src/main.rs:109)
         print("error: --val_max requires --val_folder", file=sys.stderr)
         return 2
+    resume_from = getattr(args, "resume", None)
+    if resume_from == "":          # bare --resume: use --ckpt_dir
+        if not args.ckpt_dir:
+            print("error: --resume without a DIR requires --ckpt_dir",
+                  file=sys.stderr)
+            return 2
+        resume_from = args.ckpt_dir
+    if resume_from is not None and args.start:
+        print("error: --resume conflicts with -s/--start (a native "
+              "checkpoint already contains the parameters)",
+              file=sys.stderr)
+        return 2
     from rusty_sr_tpu import params as params_lib
     from rusty_sr_tpu.train.data import ImageFolderSupplier, PrefetchBuffer
     from rusty_sr_tpu.train.loop import TrainConfig, train_loop
     from rusty_sr_tpu.utils.imageio import load_image
     from rusty_sr_tpu.train.data import list_images
+
+    dist = [args.coordinator, args.num_processes, args.process_id]
+    if any(v is not None for v in dist):
+        if any(v is None for v in dist):
+            print("error: multi-host training needs all of --coordinator, "
+                  "--num_processes and --process_id", file=sys.stderr)
+            return 2
+        import jax
+        # Must precede any device query (jax.devices() finalises the
+        # backend); after this, jax.devices() is the GLOBAL device list
+        # and process_index()/process_count() drive the input striping
+        # in train.data.ImageFolderSupplier.
+        jax.distributed.initialize(coordinator_address=args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
 
     mesh = None
     if args.mesh:
@@ -445,19 +512,40 @@ def run_train(args) -> int:
                       loss_kind=args.loss, amp=getattr(args, "amp", False))
     if args.batch is not None:
         cfg.batch_size = args.batch
+
+    import jax
+    nproc = jax.process_count()
+    is_main = jax.process_index() == 0
+    if nproc > 1 and mesh is None:
+        # multi-host default: pure DP over every global device
+        from rusty_sr_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
     if mesh is not None and cfg.batch_size % mesh.shape["data"] != 0:
         print(f"error: batch size {cfg.batch_size} does not divide over "
               f"mesh data={mesh.shape['data']} (use --batch)", file=sys.stderr)
         return 2
+    if cfg.batch_size % nproc != 0:
+        print(f"error: batch size {cfg.batch_size} does not divide over "
+              f"{nproc} processes (use --batch)", file=sys.stderr)
+        return 2
 
     try:
+        # Each host's supplier stripes the file list by process index
+        # (train.data.shard_files_for_host) and feeds its LOCAL slice of
+        # the global batch; train_loop assembles the global array.
         supplier = ImageFolderSupplier(args.TRAINING_FOLDER,
                                        recurse=args.recurse,
-                                       crop=(cfg.crop, cfg.crop), shuffle=True)
+                                       crop=(cfg.crop, cfg.crop), shuffle=True,
+                                       seed=jax.process_index())
     except (ValueError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
-    buf = PrefetchBuffer(supplier, depth=128, batch_size=cfg.batch_size)
+    if nproc > 1:
+        print(f"multi-host: process {jax.process_index()}/{nproc}, "
+              f"{supplier.epoch_size()} training files in this host's "
+              "stripe", flush=True)
+    buf = PrefetchBuffer(supplier, depth=128,
+                         batch_size=cfg.batch_size // nproc)
 
     start = None
     if args.start:
@@ -473,13 +561,14 @@ def run_train(args) -> int:
             return 1
 
     val_images = None
-    if args.val_folder:
+    if args.val_folder and is_main:   # validation/PSNR prints: main host only
         files = list_images(args.val_folder, args.recurse)
         if args.val_max is not None:
             files = files[: args.val_max]
         val_images = [load_image(f) for f in files]
 
-    print("Beginning Training")
+    if is_main:
+        print("Beginning Training")
 
     def batches():
         while True:
@@ -490,9 +579,14 @@ def run_train(args) -> int:
 
     try:
         train_loop(cfg, batches(), start_params=start,
-                   param_file=args.PARAMETER_FILE, val_images=val_images,
-                   max_steps=args.max_steps, metrics_file=args.metrics,
-                   native_ckpt_dir=args.ckpt_dir, mesh=mesh)
+                   param_file=args.PARAMETER_FILE if is_main else None,
+                   val_images=val_images,
+                   max_steps=args.max_steps,
+                   metrics_file=args.metrics if is_main else None,
+                   native_ckpt_dir=args.ckpt_dir if is_main else None,
+                   resume_from=resume_from,
+                   log=print if is_main else (lambda s: None),
+                   mesh=mesh)
     except OSError as e:
         # reference: expect("Could not make parameter file"), src/main.rs:212
         print(f"Could not make parameter file: {e}", file=sys.stderr)
@@ -503,7 +597,8 @@ def run_train(args) -> int:
         return 1
     finally:
         buf.close()
-    print("Done")
+    if is_main:
+        print("Done")
     return 0
 
 

@@ -91,16 +91,20 @@ def shard_batch(mesh: Mesh, batch: np.ndarray) -> jax.Array:
 
 
 def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
-                     *, tile: int = 242, compute_dtype=None,
-                     out16=None) -> np.ndarray:
+                     *, tile: int = 242, chunk: Optional[int] = None,
+                     compute_dtype=None, out16=None) -> np.ndarray:
     """Overlap-tile inference with the tile batch sharded over the mesh's
     'data' axis — SURVEY.md §2.4's "batch-of-tiles data parallelism".
 
     Each chunk of tiles is device_put with a 'data' sharding; the jitted
     tile kernel then runs embarrassingly parallel across chips (no
     collectives needed on the forward path; results gather to host).
+    ``chunk`` is the PER-DEVICE tile count per dispatch (the HBM
+    cliff the ladder guards is per chip); default: the measured ladder
+    for the packed fast tier, the conservative default otherwise.
     """
-    from rusty_sr_tpu.parallel.tiling import (HALO, _gather_u8, _scatter_u8,
+    from rusty_sr_tpu.parallel.tiling import (HALO, _DEFAULT_CHUNK,
+                                              _gather_u8, _scatter_u8,
                                               _pick_chunk, _tile_kernel,
                                               _tile_kernel_packed,
                                               packed_trunk_params,
@@ -124,12 +128,15 @@ def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
 
     side = tile + 2 * h
     n_tiles = ny * nx
-    # per-device chunk from the single-chip ladder (the ladder's HBM
-    # cliff is per chip), replicated over the data axis
-    chunk = n_data * _pick_chunk(max(1, -(-n_tiles // n_data)))
+    use_packed = (compute_dtype is not None and u8_io and side % 2 == 0)
+    # per-device chunk (single-chip ladder for the packed tier),
+    # replicated over the data axis
+    if chunk is None:
+        chunk = _pick_chunk(max(1, -(-n_tiles // n_data)), tile) \
+            if use_packed else _DEFAULT_CHUNK
+    chunk = n_data * chunk
     sh = NamedSharding(mesh, P("data", None, None, None))
     repl = NamedSharding(mesh, P())
-    use_packed = (compute_dtype is not None and u8_io and side % 2 == 0)
     if use_packed:
         pp = jax.device_put(packed_trunk_params(params, compute_dtype,
                                                  factor), repl)

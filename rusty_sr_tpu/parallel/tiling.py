@@ -48,45 +48,17 @@ from rusty_sr_tpu.utils import native
 # test; SURVEY.md §7 item 5 and tests/test_tiling.py).
 HALO = 7
 
-# Static index maps for the space-to-depth conv0 lowering (see
-# _conv0_s2d_weights): u = 2*ap + by - fy, v = 2*bp + bx - fx.
-def _s2d_index_maps():
-    uu = np.zeros((3, 3, 4, 4), np.int32)
-    vv = np.zeros((3, 3, 4, 4), np.int32)
-    ok = np.zeros((3, 3, 4, 4), np.float32)
-    for ap in range(3):
-        for bp in range(3):
-            for by in range(2):
-                for bx in range(2):
-                    for fy in range(2):
-                        for fx in range(2):
-                            g, ff = by * 2 + bx, fy * 2 + fx
-                            u, v = 2 * ap + by - fy, 2 * bp + bx - fx
-                            uu[ap, bp, g, ff] = min(max(u, 0), 4)
-                            vv[ap, bp, g, ff] = min(max(v, 0), 4)
-                            ok[ap, bp, g, ff] = float(0 <= u <= 4
-                                                      and 0 <= v <= 4)
-    return uu, vv, ok
-
-
-_S2D_UU, _S2D_VV, _S2D_OK = _s2d_index_maps()
-
-
 def _conv0_s2d_weights(w0):
     """(5,5,3,32) conv0 -> (3,3,12,128) on the 2x2 space-to-depth grid.
 
     Cin=3 strands 125/128 MXU lanes and makes conv0 the single biggest
     line item of the pass (6.08 of 27.4 ms, scripts/perf_probe20.py).
     Packing 2x2 LR blocks into 12 channels turns it into a half-
-    resolution 3x3x12->128 conv (K=108, N=128): out phase (fy,fx) at
-    packed tap (ap,bp), block phase (by,bx) reads original tap
-    u = 2*ap+by-fy, v = 2*bp+bx-fx (zero where outside the 5x5 support;
-    derivation: in-row offset fy+u-2 = 2*(ap-1)+by).  Pure re-indexing —
-    same products, bit-class-identical accumulation.
+    resolution 3x3x12->128 conv (K=108, N=128).  Single-block instance
+    of `_s2d_conv_weights` (the perm is the identity for one block).
+    Pure re-indexing — same products, bit-class-identical accumulation.
     """
-    ci, co = w0.shape[2], w0.shape[3]
-    wg = w0[_S2D_UU, _S2D_VV] * _S2D_OK[..., None, None]  # (3,3,4,4,ci,co)
-    return wg.transpose(0, 1, 2, 4, 3, 5).reshape(3, 3, 4 * ci, 4 * co)
+    return _s2d_conv_weights(w0, [w0.shape[3]])
 
 
 def _s2d_maps_k(k):
@@ -120,9 +92,8 @@ def _s2d_conv_weights(w, blocks):
     BLOCK-major output channels: for sub-block b (widths `blocks`,
     sum == co) the packed channel is 4*offset_b + ff*width_b + c_b, so
     every merged-stage slice is a contiguous channel range in packed
-    space and per-channel params tile as jnp.tile(p, 4).  Host-side
-    (concrete arrays) — call outside jit."""
-    w = np.asarray(w, np.float32)
+    space and per-channel params tile as jnp.tile(p, 4).  Trace-safe
+    (the index/perm maps are static numpy; `w` may be a jax tracer)."""
     k, _, ci, co = w.shape
     assert sum(blocks) == co
     uu, vv, ok = _s2d_maps_k(k)
@@ -136,6 +107,47 @@ def _s2d_conv_weights(w, blocks):
                 perm[4 * off + ff * wb + cb] = ff * co + off + cb
         off += wb
     return wflat[..., perm]
+
+
+def _ps_maps(fy: int, fx: int, k: int = 3):
+    """Phase-split index maps for an odd k x k Same conv in 2x2 s2d
+    space: output phase (fy,fx) needs original rows 2p+fy-c..2p+fy+c
+    (c=(k-1)//2), which for k=3 fit in the 2-tap packed-row window
+    a in {fy-1, fy} — vs the 3-tap window a dense packing needs for all
+    phases at once.  Of the 4 (a,by) combos per dim only 3 carry a valid
+    original tap (dy = 2a+by-fy in [-c,c]), so the per-phase dot does
+    (4/3)^2 = 1.78x the original MACs instead of the dense form's 4x.
+    Returns (uu, vv, ok) of shape (2,2,4): packed tap (ai,bi) with
+    a = fy-1+ai, input group g = by*2+bx."""
+    c = (k - 1) // 2
+    uu = np.zeros((2, 2, 4), np.int32)
+    vv = np.zeros_like(uu)
+    ok = np.zeros(uu.shape, np.float32)
+    for ai in range(2):
+        for bi in range(2):
+            for by in range(2):
+                for bx in range(2):
+                    g = by * 2 + bx
+                    dy = 2 * (fy - 1 + ai) + by - fy
+                    dx = 2 * (fx - 1 + bi) + bx - fx
+                    uu[ai, bi, g] = min(max(dy + c, 0), k - 1)
+                    vv[ai, bi, g] = min(max(dx + c, 0), k - 1)
+                    ok[ai, bi, g] = float(abs(dy) <= c and abs(dx) <= c)
+    return uu, vv, ok
+
+
+def _ps_conv_weights(w):
+    """(3,3,ci,co) -> list of 4 (2,2,4ci,co) phase-split kernels
+    (phase order ff = fy*2+fx; input channels g-outer: g*ci + c, i.e.
+    the f-outer layout of the producing stage).  Trace-safe."""
+    k, _, ci, co = w.shape
+    out = []
+    for fy in range(2):
+        for fx in range(2):
+            uu, vv, ok = _ps_maps(fy, fx, k)
+            wg = w[uu, vv] * ok[..., None, None]      # (2,2,4,ci,co)
+            out.append(wg.reshape(2, 2, 4 * ci, co))
+    return out
 
 
 def _base_conv_weights(f, C=3):
@@ -258,6 +270,130 @@ def _tile_kernel_packed(pp, zero_tiles, edge_tiles, mask_tiles, factor: int,
     d = _conv_native(jnp.concatenate([l3, te8, te8], -1), pp["WD"],
                      jnp.float32, None)      # conv10 + BASE, f32 accum
     total = (up(b[..., 2 * N:2 * N + 4 * e]) + up(c[..., N:N + 4 * e])
+             + d + pp["expand_bias"])
+    tq = jnp.floor(jnp.clip(total, 0.0, 1.0) * 255.0 + 0.5) \
+        .astype(jnp.uint8)
+    ex = tq.reshape(nb, ph, pw, 2, 2, e) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(nb, sh, sw, e)
+    return depth_to_space(ex[:, h:h + tile, h:h + tile, :], factor)
+
+
+def packed_trunk_params_ps(params, compute_dtype=jnp.bfloat16, factor=3):
+    """Phase-split variant of `packed_trunk_params` (round-3 attack on
+    the 4x FLOP inflation of the packed 3x3 stages, CLAUDE.md roadmap
+    #1): conv0/convA stay dense-packed (5x5 packs at only 1.44x), but
+    the 3x3 stages (convB/convC/conv10+base) become FOUR per-output-
+    phase dots each — a (2,2) packed-tap window per phase instead of the
+    dense (3,3) window, 1.78x MACs instead of 4x (see `_ps_maps`).
+
+    Channel layout is f-outer everywhere (channel = ff*C + c): each
+    stage's 4 phase outputs concatenate in phase order, which is exactly
+    the g-outer input order the next stage's `_ps_conv_weights` expects,
+    and also what conv0's single-block s2d output already is.
+    """
+    from rusty_sr_tpu.ops.conv import bf16_split
+    p = trunk_params(params)
+    n = p["f_bias"].shape[0]
+    e = p["expand_bias"].shape[0]
+    w0f = _conv0_s2d_weights(p["conv0"] * (256.0 / 255.0))
+    w0_hi, w0_lo = bf16_split(jnp.asarray(w0f))
+    cd = compute_dtype
+    base = _base_conv_weights(factor) * (256.0 / 255.0)
+    wd_ps = _ps_conv_weights(p["conv10"])
+    wb_ps = _ps_conv_weights(jnp.asarray(base))
+    WD = []
+    for ff in range(4):
+        hi, lo = bf16_split(wb_ps[ff])
+        WD.append(jnp.concatenate(
+            [jnp.asarray(wd_ps[ff]).astype(cd), hi, lo], axis=2))
+    out = {
+        "W0": jnp.concatenate([w0_hi, w0_lo], axis=2),
+        # convA: single-block perm == identity => f-outer output
+        "WA": jnp.asarray(_s2d_conv_weights(p["convA"], [3 * n])
+                          ).astype(cd),
+        "WB": [jnp.asarray(w).astype(cd)
+               for w in _ps_conv_weights(p["convB"])],
+        "WC": [jnp.asarray(w).astype(cd)
+               for w in _ps_conv_weights(p["convC"])],
+        "WD": WD,
+    }
+    for k in ("f_bias", "f_belu", "l1_bias", "l1_belu", "l2_bias",
+              "l2_belu", "l3_bias", "l3_belu", "expand_bias"):
+        out[k] = jnp.tile(p[k], 4)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("factor", "tile",
+                                             "compute_dtype"))
+def _tile_kernel_packed_ps(pp, zero_tiles, edge_tiles, mask_tiles,
+                           factor: int, tile: int,
+                           compute_dtype=jnp.bfloat16):
+    """Phase-split packed trunk: same tiling/mask semantics and the same
+    products as `_tile_kernel_packed` (bf16-class identical; the 3x3
+    stage sums just accumulate in 4 per-phase K=512 dots instead of one
+    K=1152 dot with 75% structural zeros).  Gated by the same quality
+    suite (tests/test_quality_budget.py)."""
+    from rusty_sr_tpu.ops.activations import belu
+    from rusty_sr_tpu.ops.conv import _conv_native
+    from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
+    from jax import lax
+
+    h = HALO
+    cd = compute_dtype
+    nb, sh, sw, ci = zero_tiles.shape
+    ph, pw = sh // 2, sw // 2
+    n = pp["f_bias"].shape[0] // 4
+    e = pp["expand_bias"].shape[0] // 4
+
+    def pack(t):
+        c = t.shape[-1]
+        return t.reshape(nb, ph, 2, pw, 2, c) \
+            .transpose(0, 1, 3, 2, 4, 5).reshape(nb, ph, pw, 4 * c)
+
+    def blk(t, C, lo, hi):
+        """f-outer channel-range slice: (…,4C) -> (…,4*(hi-lo))."""
+        s = t.reshape(nb, ph, pw, 4, C)[..., lo:hi]
+        return s.reshape(nb, ph, pw, 4 * (hi - lo))
+
+    def ps_cv(t, Ws, accum_f32=False):
+        """Four per-phase (2,2)-window VALID convs over the zero-padded
+        packed image; concat in phase order = f-outer output."""
+        tp = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        outs = []
+        for fy in range(2):
+            for fx in range(2):
+                v = tp[:, fy:fy + ph + 1, fx:fx + pw + 1, :]
+                o = lax.conv_general_dilated(
+                    v, Ws[fy * 2 + fx], (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32)
+                outs.append(o if accum_f32 else o.astype(cd))
+        return jnp.concatenate(outs, axis=-1)
+
+    t8 = pack(zero_tiles).astype(cd) * jnp.asarray(2.0 ** -8, cd)
+    te8 = pack(edge_tiles).astype(cd) * jnp.asarray(2.0 ** -8, cd)
+    o = _conv_native(jnp.concatenate([t8, t8], -1), pp["W0"],
+                     jnp.float32, None)
+    m4 = pack(mask_tiles).astype(cd)
+    mN = jnp.repeat(m4, n, axis=-1)
+    f_ = belu(o + pp["f_bias"], pp["f_belu"]).astype(cd) * mN
+
+    a = _conv_native(f_, pp["WA"], jnp.float32, None).astype(cd)
+    l1 = belu(blk(a, 3 * n, 0, n).astype(jnp.float32) + pp["l1_bias"],
+              pp["l1_belu"]).astype(cd) * mN
+    b = ps_cv(l1, pp["WB"])
+    l2 = belu(blk(a, 3 * n, n, 2 * n).astype(jnp.float32)
+              + blk(b, 2 * n + e, 0, n).astype(jnp.float32)
+              + pp["l2_bias"], pp["l2_belu"]).astype(cd) * mN
+    c = ps_cv(l2, pp["WC"])
+    l3 = belu(blk(a, 3 * n, 2 * n, 3 * n).astype(jnp.float32)
+              + blk(b, 2 * n + e, n, 2 * n).astype(jnp.float32)
+              + blk(c, n + e, 0, n).astype(jnp.float32)
+              + pp["l3_bias"], pp["l3_belu"]).astype(cd) * mN
+    d = ps_cv(jnp.concatenate([l3, te8, te8], -1), pp["WD"],
+              accum_f32=True)               # conv10 + BASE, f32 accum
+    total = (blk(b, 2 * n + e, 2 * n, 2 * n + e).astype(jnp.float32)
+             + blk(c, n + e, n, n + e).astype(jnp.float32)
              + d + pp["expand_bias"])
     tq = jnp.floor(jnp.clip(total, 0.0, 1.0) * 255.0 + 0.5) \
         .astype(jnp.uint8)
@@ -573,14 +709,18 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     zt = np.concatenate(zts); et = np.concatenate(ets); mt = np.concatenate(mts)
     starts = np.cumsum([0] + [m[0] * m[1] for m in metas])  # image offsets
     n_tiles = int(starts[-1])
+    use_packed = (compute_dtype is not None and u8_io
+                  and (tile + 2 * h) % 2 == 0)
     if chunk is None:
-        chunk = _pick_chunk(n_tiles)
+        # The measured ladder is for the packed kernel only (see
+        # _CHUNK_T_MS); other tiers keep the conservative default.
+        chunk = _pick_chunk(n_tiles, tile) if use_packed else _DEFAULT_CHUNK
 
     out_dtype = np.uint8 if u8_io else np.float32
     outs = [np.zeros((m[2] * factor, m[3] * factor, 3), out_dtype)
             for m in metas]
 
-    if compute_dtype is not None and u8_io and (tile + 2 * h) % 2 == 0:
+    if use_packed:
         pp = packed_trunk_params(params, compute_dtype, factor)
         run = lambda z, e, m: _tile_kernel_packed(  # noqa: E731
             pp, z, e, m, factor, tile, compute_dtype)
@@ -624,22 +764,42 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     return outs
 
 
-# Measured ms/chunk of the packed fast-tier kernel (merged-base form) at
+# Measured ms/chunk of the PACKED fast-tier kernel (merged-base form) at
 # tile=242 on v5e (perf_probe40-42); throughput climbs to a hard HBM
 # cliff just past B=112.  Used to pick the chunk that minimises
 # ceil(n/c)*t(c) — padding the final chunk is the price of
 # one-executable dispatch, so the best c depends on the image's tile
-# count.
+# count.  The ladder applies ONLY to the packed fast-tier kernel: the
+# exact/f32/int8 kernels have different (unmeasured) timings and a much
+# larger HBM footprint (the flat kernel's convA im2col patches are ~2 MB
+# per tile per K-element class — chunk 112 would overrun v5e's 16 GB),
+# so those paths keep the conservative `_DEFAULT_CHUNK`.
 _CHUNK_T_MS = {1: 3.8, 2: 4.3, 4: 5.2, 8: 6.1, 16: 8.9, 24: 11.8,
                32: 14.6, 40: 17.1, 48: 19.5, 56: 21.9, 64: 24.2,
                80: 29.0, 96: 33.5, 112: 38.3}
+_LADDER_TILE = 242      # anchor tile the ladder was measured at
+_CLIFF_B = 112          # HBM cliff just past this batch at the anchor
+_DEFAULT_CHUNK = 24     # non-packed tiers (measured safe, ~5 GB peak)
 
 
-def _pick_chunk(n_tiles: int) -> int:
-    """Smallest-total-cost chunk from the measured ladder (ties -> the
-    larger chunk: fewer dispatches)."""
-    best, best_cost = 24, float("inf")
-    for c, t in _CHUNK_T_MS.items():
+def _pick_chunk(n_tiles: int, tile: int = _LADDER_TILE) -> int:
+    """Smallest-total-cost chunk for the PACKED fast-tier kernel.
+
+    For non-anchor tiles the ladder is rescaled by padded-tile area:
+    kernel time and HBM footprint both scale ~linearly with
+    batch x side^2, so a chunk of c tiles at side s costs about what
+    c*(s/256)^2 tiles cost at the anchor, and the HBM cliff sits at
+    c*(s/256)^2 ~ 112.  Ties -> the larger chunk (fewer dispatches).
+    """
+    side = tile + 2 * HALO
+    area = (side * side) / float((_LADDER_TILE + 2 * HALO) ** 2)
+    ws = sorted(_CHUNK_T_MS)
+    ts = [_CHUNK_T_MS[w] for w in ws]
+    cap = max(1, int(_CLIFF_B / area))
+    cands = sorted({min(max(1, int(round(w / area))), cap) for w in ws})
+    best, best_cost = cands[0], float("inf")
+    for c in cands:
+        t = float(np.interp(c * area, ws, ts))
         cost = -(-n_tiles // c) * t
         if cost < best_cost or (cost == best_cost and c > best):
             best, best_cost = c, cost
@@ -672,8 +832,15 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
     h = HALO
     ny = max(1, -(-hgt // tile))
     nx = max(1, -(-wid // tile))
+    use_packed = (engine == "xla" and trunk != "flat"
+                  and compute_dtype is not None and u8_io
+                  and (tile + 2 * h) % 2 == 0)
     if chunk is None:
-        chunk = _pick_chunk(ny * nx)
+        # The measured ladder applies to the packed fast-tier kernel
+        # only; the exact/f32/int8 kernels keep the conservative default
+        # (their timings differ and the flat kernel's im2col patches
+        # would overrun HBM at ladder-sized chunks).
+        chunk = _pick_chunk(ny * nx, tile) if use_packed else _DEFAULT_CHUNK
 
     if u8_io:
         # uint8 end-to-end: 4x less host<->device transfer; conversion to
@@ -709,8 +876,7 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
             rh = next(d for d in range(rh, 0, -1) if tile % d == 0)
         run = lambda z, e, m: _tile_kernel_fused(  # noqa: E731
             packed, z, e, m, factor, tile, rh, compute_dtype or jnp.bfloat16)
-    elif trunk != "flat" and compute_dtype is not None and u8_io \
-            and (tile + 2 * h) % 2 == 0:
+    elif use_packed:
         # Fast tier, u8, even padded side: the space-to-depth packed
         # trunk (quarter res, 4x channels) — 797 vs 609 MPix/s on v5e
         # (perf_probe36); bf16-class identical products.

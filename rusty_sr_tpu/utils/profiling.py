@@ -27,13 +27,28 @@ def trace(log_dir: str = "/tmp/rusty_sr_trace"):
         jax.profiler.stop_trace()
 
 
+def _perturb(x, r: int):
+    """Vary a pytree of arrays between timing rounds (+r on every
+    numeric leaf; uint8 wraps, floats shift — either is fine, the point
+    is a different input value each round)."""
+    import jax.numpy as jnp
+
+    def bump(v):
+        if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.number):
+            return v + jnp.asarray(r, v.dtype)
+        return v
+    return jax.tree.map(bump, x)
+
+
 def device_timer(fn: Callable, x, *, iters: int = 20, rounds: int = 3,
                  fold: Callable = None):
     """Best-of-N seconds per single `fn(x)` pass, measured on device.
 
     `fn` must map x -> y; `fold` maps y back to x's shape/dtype to carry
     the inter-iteration data dependency (default: identity, requiring
-    y compatible with x).
+    y compatible with x).  The input is perturbed every round — this
+    backend can serve repeated identical dispatches from a result cache
+    (CLAUDE.md measurement rules; bench.py does the same).
     """
     fold = fold or (lambda y, x0: y)
 
@@ -41,10 +56,11 @@ def device_timer(fn: Callable, x, *, iters: int = 20, rounds: int = 3,
     def chained(b):
         return lax.fori_loop(0, iters, lambda i, c: fold(fn(c), b), b)
 
-    jax.block_until_ready(chained(x))  # compile
+    jax.block_until_ready(chained(x))  # compile + warm-up
     best = float("inf")
-    for _ in range(rounds):
+    for r in range(rounds):
+        xr = jax.block_until_ready(_perturb(x, r + 1))
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(x))
+        jax.block_until_ready(chained(xr))
         best = min(best, (time.perf_counter() - t0) / iters)
     return best

@@ -157,3 +157,55 @@ def test_packed_fast_tier_tiny_image_single_tile():
     assert fast.shape == (36, 30, 3) and fast.dtype == np.uint8
     mse = np.mean((fast / 255.0 - exact / 255.0) ** 2)
     assert -10 * np.log10(max(mse, 1e-300)) >= 40.0
+
+
+def test_pick_chunk_ladder_anchor_and_tile_aware():
+    """The measured ladder applies at the anchor tile; other tiles scale
+    by padded-tile area and stay under the per-chip HBM cliff
+    (VERDICT r2 #7: a non-default tile must pick a sane chunk)."""
+    from rusty_sr_tpu.parallel.tiling import (_pick_chunk, _CHUNK_T_MS,
+                                              _CLIFF_B, _LADDER_TILE, HALO)
+    # anchor tile: large images pick the cliff-edge chunk
+    assert _pick_chunk(1000) == max(_CHUNK_T_MS)
+    # exact ladder hit: n == a measured chunk picks it (one dispatch)
+    assert _pick_chunk(24) == 24
+    anchor_area = (_LADDER_TILE + 2 * HALO) ** 2
+    for tile in (114, 484, 978):
+        c = _pick_chunk(10_000, tile)
+        area = (tile + 2 * HALO) ** 2
+        # equivalent anchor-tile footprint never exceeds the cliff
+        assert 1 <= c and c * area <= _CLIFF_B * anchor_area * 1.01, \
+            (tile, c)
+    # a big tile must not inherit the anchor's chunk=112
+    assert _pick_chunk(10_000, 978) < 16
+
+
+def test_exact_tier_keeps_conservative_chunk(monkeypatch):
+    """The ladder was measured for the packed fast-tier kernel only; the
+    exact f32 path must dispatch with the conservative default chunk
+    (ADVICE r2 high: ladder-sized chunks overrun HBM via the flat
+    kernel's im2col patches)."""
+    from rusty_sr_tpu.parallel import tiling as T
+
+    seen = {}
+    real_kernel = T._tile_kernel
+
+    def spy(params, z, e, m, *a, **k):
+        seen["batch"] = z.shape[0]
+        return real_kernel(params, z, e, m, *a, **k)
+
+    monkeypatch.setattr(T, "_tile_kernel", spy)
+    from rusty_sr_tpu import params as P
+    tree = jax.tree.map(jnp.asarray, P.init_params(1, 3))
+    img = np.random.default_rng(0).integers(0, 256, (40, 40, 3),
+                                            dtype=np.uint8)
+    T.tiled_sr(tree, img, 3, tile=10)          # 16 tiles, exact tier
+    assert seen["batch"] <= T._DEFAULT_CHUNK
+
+
+def test_output_names_disambiguate_collisions():
+    from rusty_sr_tpu.cli import _output_names
+    names = _output_names(["/x/a.png", "/x/a.jpg", "/x/b.jpg"])
+    assert names[2] == "b.png"
+    assert names[0] != names[1]
+    assert all(n.endswith(".png") for n in names)
