@@ -51,6 +51,20 @@ class TrainConfig:
     checkpoint_every: int = 100    # src/main.rs:211
     val_every: int = 100           # src/main.rs:233
     remat: bool = False            # jax.checkpoint the forward (big crops)
+    trunk: str = "merged"          # "merged" (default): the train step
+    #                                runs the same merged-conv forward the
+    #                                inference trunk uses (conv1/2/3 ->
+    #                                convA etc., models.sr_net.merge_params
+    #                                traced inside the step, so gradients
+    #                                flow back through the concat to the
+    #                                19 reference tensors and checkpoints
+    #                                stay byte-stable).  The flat 9-conv
+    #                                form strands 3/4 of the MXU's lanes
+    #                                (27-32 wide stages); merging is
+    #                                mathematically identical (conv is
+    #                                linear in the kernel; same products).
+    #                                "flat" keeps the literal reference
+    #                                topology (debugging).
     amp: bool = False              # mixed precision: bf16 conv trunk in the
     #                                fwd/bwd pass, f32 master weights/Adam
     #                                state/loss (classic AMP; no reference
@@ -72,8 +86,21 @@ def loss_fn(params, hr, cfg: TrainConfig):
     lr = make_lr_from_hr(hr, cfg.factor)
     cd = jnp.bfloat16 if cfg.amp else None
 
-    def fwd(p, x, f):
-        return sr_apply(p, x, f, compute_dtype=cd)
+    if cfg.trunk == "merged":
+        # TPU-first forward: merge the 27-32-wide same-source convs into
+        # the wide convA/B/C stages the inference trunk runs (3.4x there).
+        # merge_params is traced inside the step: the concat's gradient
+        # is a slice, so grads cover all 19 reference tensors and the
+        # master params / Adam state / checkpoints keep the reference
+        # layout.
+        from rusty_sr_tpu.models.sr_net import merge_params, sr_apply_fused
+
+        def fwd(p, x, f):
+            return sr_apply_fused(merge_params(p), x, f, compute_dtype=cd,
+                                  round_output=False, conv0_split=False)
+    else:
+        def fwd(p, x, f):
+            return sr_apply(p, x, f, compute_dtype=cd)
 
     if cfg.remat:
         fwd = jax.checkpoint(fwd, static_argnums=(2,))
@@ -216,6 +243,7 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
                max_steps: Optional[int] = None,
                metrics_file: Optional[str] = None,
                native_ckpt_dir: Optional[str] = None,
+               resume_from: Optional[str] = None,
                seed: int = 0):
     """Run the reference's training protocol; returns final params.
 
@@ -223,6 +251,12 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
     ``metrics_file``: optional JSONL observability stream (step, loss, mse,
     validation PSNR, wall time) — the reference only has stdout
     (SURVEY.md §5 metrics row).
+    ``resume_from``: a native (orbax) checkpoint — either a `step_*` path
+    or a directory of them (the latest is taken) — restores params,
+    optimizer state AND the step counter, so a crashed run continues with
+    its Adam moments and the 10 M-sample budget / checkpoint cadence
+    intact.  The reference can only restart from bare params
+    (`--start`, src/main.rs:190-195); this is the §5 restartability row.
     """
     import json
     import time as _time
@@ -232,9 +266,53 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
     params = jax.tree.map(jnp.asarray, params)
     step_fn, opt = make_train_step(cfg, mesh)
     opt_state = opt.init(params)
+
+    start_step = 0
+    if resume_from is not None:
+        import os
+        from rusty_sr_tpu.train import checkpoint as _ck
+        path = _ck.latest_native(resume_from) or resume_from
+        if not os.path.isdir(path):
+            raise RuntimeError(f"no native checkpoint found at "
+                               f"{resume_from!r}")
+        like = {"params": jax.tree.map(np.asarray, params),
+                "opt_state": jax.tree.map(np.asarray, opt_state),
+                "step": 0}
+        try:
+            r_params, r_opt, start_step = _ck.restore_native(path, like)
+        except (ValueError, KeyError):
+            # params-only checkpoint (saved without optimizer state)
+            like.pop("opt_state")
+            r_params, r_opt, start_step = _ck.restore_native(path, like)
+        params = jax.tree.map(jnp.asarray, r_params)
+        if r_opt is not None:
+            opt_state = jax.tree.map(jnp.asarray, r_opt)
+        log(f"Resumed from {path} at step {start_step}")
+
     if mesh is not None and mesh.shape.get("model", 1) > 1:
         from rusty_sr_tpu.parallel.mesh import shard_train_state
         params, opt_state = shard_train_state(mesh, params, opt_state)
+
+    # Multi-host (jax.distributed): each host's data pipeline yields its
+    # LOCAL slice of the global batch (cfg.batch_size / process_count
+    # crops); the global sharded array is assembled per step below, so
+    # the jitted step sees one (batch_size, ...) array over the whole
+    # mesh and XLA's gradient all-reduce spans hosts via the mesh axes.
+    nproc = jax.process_count()
+    multihost = mesh is not None and nproc > 1
+    if multihost:
+        batch_sh = NamedSharding(mesh, P("data", None, None, None))
+        if mesh.shape.get("model", 1) == 1:  # TP already put its shardings
+            repl = NamedSharding(mesh, P())
+            params = jax.device_put(params, repl)
+            opt_state = jax.device_put(opt_state, repl)
+
+        def to_device(hr):
+            return jax.make_array_from_process_local_data(
+                batch_sh, np.asarray(hr, np.float32))
+    else:
+        def to_device(hr):
+            return jnp.asarray(hr)
 
     budget_steps = cfg.max_evals // cfg.batch_size
     if max_steps is not None:
@@ -242,14 +320,15 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
 
     mf = open(metrics_file, "a") if metrics_file else None
     t_start = _time.time()
-    step = 0
+    step = start_step
+    last_native_ckpt = start_step
     try:
         for hr in train_batches:
             if hr is None or step >= budget_steps:
                 break
             step += 1
             params, opt_state, loss, mse = step_fn(params, opt_state,
-                                                   jnp.asarray(hr))
+                                                   to_device(hr))
             if step % cfg.checkpoint_every == 0 or step == 1:
                 if param_file is not None:
                     host = jax.tree.map(np.asarray, params)
@@ -257,6 +336,7 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
                 if native_ckpt_dir is not None:
                     from rusty_sr_tpu.train import checkpoint as _ck
                     _ck.save_native(native_ckpt_dir, step, params, opt_state)
+                    last_native_ckpt = step
                 psnr = None
                 if val_images:
                     psnr = validation_psnr(params, val_images, cfg)
@@ -274,4 +354,10 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
     finally:
         if mf is not None:
             mf.close()
+    if native_ckpt_dir is not None and step > last_native_ckpt:
+        # Final-state checkpoint: a finished (or step-capped) run can be
+        # resumed/extended from exactly where it stopped, not from the
+        # last 100-step boundary.
+        from rusty_sr_tpu.train import checkpoint as _ck
+        _ck.save_native(native_ckpt_dir, step, params, opt_state)
     return jax.tree.map(np.asarray, params)

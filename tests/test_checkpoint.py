@@ -69,3 +69,40 @@ def test_device_timer_runs():
     x = jnp.ones((128, 128), jnp.float32)
     dt = device_timer(lambda c: c * 1.0001, x, iters=4, rounds=1)
     assert dt > 0
+
+
+def test_train_loop_resume_continues_with_opt_state(tmp_path):
+    """VERDICT r2 #2: train 10 steps straight vs 6 steps + crash +
+    `resume_from` + 4 more — identical final params (Adam moments and
+    the step counter survive); a fresh-Adam restart from the same
+    params diverges (proves the moments actually mattered)."""
+    from rusty_sr_tpu.train.loop import train_loop
+    cfg = TrainConfig(crop=12, checkpoint_every=3)
+    rng = np.random.default_rng(3)
+    batches = [rng.random((cfg.batch_size, cfg.crop, cfg.crop, 3)
+                          ).astype(np.float32) for _ in range(10)]
+    quiet = lambda s: None  # noqa: E731
+    full = train_loop(cfg, iter(batches), max_steps=10, log=quiet, seed=7)
+    ck_dir = str(tmp_path / "ck")
+    train_loop(cfg, iter(batches), max_steps=6, native_ckpt_dir=ck_dir,
+               log=quiet, seed=7)
+    resumed = train_loop(cfg, iter(batches[6:]), max_steps=10,
+                         resume_from=ck_dir, log=quiet, seed=7)
+    for k in full:
+        np.testing.assert_allclose(np.asarray(resumed[k]),
+                                   np.asarray(full[k]), atol=1e-6, rtol=0)
+    params6, opt6, step6 = ck.restore_native(ck.latest_native(ck_dir))
+    assert step6 == 6 and opt6 is not None
+    fresh = train_loop(cfg, iter(batches[6:]), max_steps=4,
+                       start_params=params6, log=quiet)
+    diff = max(float(np.max(np.abs(np.asarray(fresh[k])
+                                   - np.asarray(full[k])))) for k in full)
+    assert diff > 1e-6, "fresh-Adam restart should diverge from resume"
+
+
+def test_train_loop_resume_missing_checkpoint_raises(tmp_path):
+    from rusty_sr_tpu.train.loop import train_loop
+    cfg = TrainConfig(crop=12)
+    with pytest.raises(RuntimeError, match="no native checkpoint"):
+        train_loop(cfg, iter([]), resume_from=str(tmp_path / "nope"),
+                   log=lambda s: None)

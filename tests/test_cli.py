@@ -230,3 +230,42 @@ def test_train_mesh_tp_smoke(tmp_path):
                    "--max_steps", "1"])
     assert rc == 0
     assert out.stat().st_size == 1_043_676
+
+
+def test_resume_flag_parsing_and_errors(capsys):
+    t = cli.build_train_parser()
+    assert t.parse_args(["o.rsr", "ti"]).resume is None
+    assert t.parse_args(["o.rsr", "ti", "--resume"]).resume == ""
+    assert t.parse_args(["o.rsr", "ti", "--resume", "d"]).resume == "d"
+    # bare --resume needs --ckpt_dir to know where to look
+    rc = cli.main(["train", "o.rsr", "ti", "--resume"])
+    assert rc == 2
+    assert "--ckpt_dir" in capsys.readouterr().err
+    # --resume already restores params: -s/--start conflicts
+    rc = cli.main(["train", "o.rsr", "ti", "--resume", "d", "-s", "w.rsr"])
+    assert rc == 2
+    assert "conflicts" in capsys.readouterr().err
+
+
+def test_cli_train_resume_end_to_end(tmp_path, capsys):
+    """`train --ckpt_dir D --resume`: a second invocation picks up the
+    latest native checkpoint (params + Adam state + step) and continues
+    the budget from there (VERDICT r2 #2)."""
+    from rusty_sr_tpu.utils.imageio import save_image
+    rng = np.random.default_rng(13)
+    ti = tmp_path / "ti"
+    ti.mkdir()
+    for i in range(2):
+        save_image(str(ti / f"t{i}.png"),
+                   rng.random((200, 200, 3)).astype(np.float32))
+    out, ck_dir = tmp_path / "out.rsr", tmp_path / "ck"
+    rc = cli.main(["train", str(out), str(ti), "--max_steps", "2",
+                   "--ckpt_dir", str(ck_dir)])
+    assert rc == 0
+    from rusty_sr_tpu.train import checkpoint as ckpt
+    assert ckpt.latest_native(str(ck_dir)).endswith("step_00000002")
+    rc = cli.main(["train", str(out), str(ti), "--max_steps", "4",
+                   "--ckpt_dir", str(ck_dir), "--resume"])
+    assert rc == 0
+    assert "Resumed from" in capsys.readouterr().out
+    assert ckpt.latest_native(str(ck_dir)).endswith("step_00000004")
