@@ -89,13 +89,24 @@ def merge_params(params, as_jax: bool = True):
 
 
 def sr_apply_fused(mparams, x: jnp.ndarray, factor: int = 3, *,
-                   compute_dtype=None, conv_fn=None) -> jnp.ndarray:
+                   compute_dtype=None, conv_fn=None,
+                   round_output: bool = True,
+                   conv0_split: bool = True) -> jnp.ndarray:
     """sr_apply over `merge_params` output — identical math, wide convs.
 
     The bilinear base is added in LR space as phase images
     (ops.resize.bilinear_phases) so the only HR-sized op is the final
     depth_to_space — measured 3.7 ms/pass cheaper than an HR-space add at
     8x256^2 on v5e (scripts/perf_probe6.py).
+
+    ``round_output=False`` keeps the output f32 under ``compute_dtype``
+    (training wants an unquantised loss surface; the <=1/512 inference
+    rounding would add noise that dominates MSE gradients past ~58 dB).
+    ``conv0_split=False`` uses the plain-cast conv0 instead of the
+    two-term bf16 weight split under ``compute_dtype`` — required for
+    differentiation (the split conv's f32-accum backward mixes dtypes in
+    `conv_general_dilated`), and matches the AMP semantics `sr_apply`
+    has always had (single bf16 rounding of the conv0 input).
     """
     p = mparams
     e = x.shape[-1] * factor * factor
@@ -105,7 +116,7 @@ def sr_apply_fused(mparams, x: jnp.ndarray, factor: int = 3, *,
     def cv(h, name, native=False):
         w = p[name]
         if compute_dtype is not None:
-            if native and conv_fn is None:
+            if native and conv_fn is None and conv0_split:
                 # conv0 reads the raw image: rounding it to bf16 costs
                 # 3.4 dB for 1.8% of FLOPs.  Three-term masked bf16 split
                 # of input AND weights (hi*w_hi + hi*w_lo + lo*w_hi as a
@@ -136,7 +147,7 @@ def sr_apply_fused(mparams, x: jnp.ndarray, factor: int = 3, *,
               + p["expand_bias"])
     base_ph = bilinear_phases(x, factor)
     total = base_ph + expand.astype(base_ph.dtype)  # base+sum in f32
-    if compute_dtype is not None:
+    if compute_dtype is not None and round_output:
         # only the final value is rounded (<= 1/512 on [0,1] => <=1 u8 code);
         # keeps the big HR-sized shuffle in bf16.
         total = total.astype(compute_dtype)

