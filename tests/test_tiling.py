@@ -209,3 +209,26 @@ def test_output_names_disambiguate_collisions():
     assert names[2] == "b.png"
     assert names[0] != names[1]
     assert all(n.endswith(".png") for n in names)
+
+
+def test_phase_split_packed_matches_dense_packed(anime_params, cartoon):
+    """The phase-split packed trunk (4 per-phase K=512 dots per 3x3
+    stage, 1.78x MACs) computes the same products as the dense packed
+    form (one K=1152 dot, 4x MACs) — only the f32 accumulation grouping
+    differs, so outputs agree to <= 1 u8 code (measured: 2e-5 of pixels
+    differ by exactly 1)."""
+    from rusty_sr_tpu.parallel.tiling import (
+        _gather_u8, _tile_kernel_packed, _tile_kernel_packed_ps,
+        packed_trunk_params, packed_trunk_params_ps, trunk_params)
+    tp = trunk_params(anime_params)
+    img = (np.asarray(cartoon) * 255).round().astype(np.uint8)
+    zt, et, mt = _gather_u8(img, 50, HALO, 3, 2)
+    za, ea, ma = jnp.asarray(zt), jnp.asarray(et), jnp.asarray(mt)
+    dense = np.asarray(_tile_kernel_packed(
+        packed_trunk_params(tp, jnp.bfloat16, 3), za, ea, ma, 3, 50,
+        jnp.bfloat16))
+    ps = np.asarray(_tile_kernel_packed_ps(
+        packed_trunk_params_ps(tp, jnp.bfloat16, 3), za, ea, ma, 3, 50,
+        jnp.bfloat16))
+    d = np.abs(dense.astype(np.int32) - ps.astype(np.int32))
+    assert d.max() <= 1 and (d > 0).mean() < 1e-3
