@@ -1,12 +1,16 @@
-"""Training-step throughput scaling on the chip (VERDICT round-1 item 8).
+"""Training-step throughput scaling on the chip (VERDICT r1 #8, r2 #1).
 
-Sweeps batch size and rematerialisation at the reference's 192^2 HR crops
-(protocol: src/main.rs:187,199-205).  Host-stepped with varied batches —
-the end-to-end rate the training loop actually achieves (async dispatch
-pipelines steps; params/opt-state buffers are donated).
+Sweeps batch size, trunk form (merged convA/B/C — the round-3 default —
+vs the flat 9-conv reference topology) and rematerialisation at the
+reference's 192^2 HR crops (protocol: src/main.rs:187,199-205).
+Host-stepped with varied batches — the end-to-end rate the training loop
+actually achieves (async dispatch pipelines steps; params/opt-state
+buffers are donated).
 
-Prints a table plus one bench-style JSON line for the reference protocol
-point (batch 4).
+Prints a table (with a training-MFU column: fwd+bwd ~= 3x forward FLOPs,
+130,176 MAC/LR px, vs the chip's 197 TFLOP/s bf16 peak) plus one
+bench-style JSON line for the reference protocol point (batch 4,
+merged).
 """
 
 import json
@@ -25,8 +29,14 @@ from rusty_sr_tpu.train.loop import TrainConfig, make_train_step
 ITERS = 30
 
 
-def bench(batch: int, remat: bool, crop: int = 192) -> float:
-    cfg = TrainConfig(batch_size=batch, crop=crop, remat=remat)
+MAC_PER_LR_PX = 130_176          # SURVEY.md §6 (conv shapes)
+PEAK_BF16 = 197e12               # v5e bf16 peak, PERF.md convention
+
+
+def bench(batch: int, remat: bool, crop: int = 192,
+          trunk: str = "merged", amp: bool = False) -> float:
+    cfg = TrainConfig(batch_size=batch, crop=crop, remat=remat,
+                      trunk=trunk, amp=amp)
     params = jax.tree.map(jnp.asarray, P.init_params(0, cfg.factor))
     step_fn, opt = make_train_step(cfg)
     st = opt.init(params)
@@ -45,18 +55,26 @@ def bench(batch: int, remat: bool, crop: int = 192) -> float:
     jax.block_until_ready(params)
     dt = (time.perf_counter() - t0) / ITERS
     sps = batch / dt
-    print(f"batch {batch:3d} remat={int(remat)}: {dt * 1e3:7.2f} ms/step  "
-          f"{sps:8.1f} samples/s  (compile {comp:.0f}s)", flush=True)
+    # fwd + input-grad + weight-grad ~= 3x forward FLOPs
+    flops = 3 * 2 * MAC_PER_LR_PX * batch * (crop // cfg.factor) ** 2
+    mfu = flops / dt / PEAK_BF16
+    print(f"batch {batch:3d} trunk={trunk:6s} remat={int(remat)} "
+          f"amp={int(amp)}: {dt * 1e3:7.2f} ms/step  {sps:8.1f} samples/s  "
+          f"MFU {100 * mfu:5.2f}%  (compile {comp:.0f}s)", flush=True)
     return sps
 
 
 def main():
     results = {}
-    for remat in (False, True):
+    for trunk in ("merged", "flat"):
         for batch in (4, 8, 16, 32):
-            results[(batch, remat)] = bench(batch, remat)
+            results[(batch, trunk)] = bench(batch, False, trunk=trunk)
+    for batch in (4, 32):
+        results[(batch, "merged-remat")] = bench(batch, True)
+    for batch in (4, 32):   # does the bf16-backward emitter still lose?
+        results[(batch, "merged-amp")] = bench(batch, False, amp=True)
 
-    ref = results[(4, False)]
+    ref = results[(4, "merged")]
     print(f"\nreference budget 10M samples at batch 4: "
           f"{10e6 / ref / 3600:.2f} h")
     print(json.dumps({
