@@ -128,8 +128,14 @@ def build_train_parser() -> argparse.ArgumentParser:
     t.add_argument("--amp", action="store_true",
                    help="mixed-precision training: bf16 conv trunk in the "
                         "forward/backward pass, f32 master weights and "
-                        "optimizer state (on v5e the bf16 conv backward "
-                        "is SLOWER below batch ~128 — see PERF.md)")
+                        "optimizer state — ~2x faster than f32 at every "
+                        "batch size on v5e (PERF.md probe47/48)")
+    t.add_argument("--precision", choices=["highest", "high"],
+                   default="highest",
+                   help="f32 conv precision: 'highest' (6-pass, "
+                        "reference-parity class) or 'high' (3-pass, "
+                        "~f32-mantissa class, +15%% step rate); ignored "
+                        "with --amp")
     t.add_argument("--batch", type=int, default=None,
                    help="batch size (reference default 4); must divide "
                         "evenly over the mesh 'data' axis")
@@ -341,11 +347,16 @@ def _run_upscale_folder(args) -> int:
         tree = params_lib.load_builtin(args.parameters or "imagenet",
                                        args.factor)
     tree = {k: jnp.asarray(v) for k, v in tree.items()}
+    engine = getattr(args, "engine", "xla")
+    if engine not in ("xla", "int8"):
+        print(f"error: folder mode supports --engine xla/int8 "
+              f"(got {engine!r})", file=sys.stderr)
+        return 2
     print(f"Upscaling {len(images)} images (tiles batched across images)...",
           end="", flush=True)
     outs = tiled_sr_batch(
         tree, images, args.factor, tile=args.tile, chunk=args.chunk,
-        compute_dtype=jnp.bfloat16 if args.fast else None)
+        compute_dtype=jnp.bfloat16 if args.fast else None, engine=engine)
     print(" Writing files...", end="", flush=True)
     for out, i in zip(outs, keep):
         save_image_u8(out_paths[i], out)
@@ -371,6 +382,8 @@ def build_watch_parser() -> argparse.ArgumentParser:
     w.add_argument("-f", "--factor", type=int, default=3)
     w.add_argument("--fast", action="store_true",
                    help="bf16 conv trunk (higher throughput)")
+    w.add_argument("--engine", choices=["xla", "int8"], default="xla",
+                   help="device engine (int8: quantised low-memory trunk)")
     w.add_argument("--tile", type=int, default=242)
     w.add_argument("--chunk", type=int, default=None)
     w.add_argument("--poll", type=float, default=1.0,
@@ -434,7 +447,8 @@ def run_watch(args) -> int:
                 t0 = time.time()
                 outs = tiled_sr_batch(tree, batch_imgs, args.factor,
                                       tile=args.tile, chunk=args.chunk,
-                                      compute_dtype=compute_dtype)
+                                      compute_dtype=compute_dtype,
+                                      engine=getattr(args, "engine", "xla"))
                 names = _output_names([f for f, _ in batch_paths])
                 n_ok = 0
                 for (f, mt), name, out in zip(batch_paths, names, outs):
@@ -509,7 +523,8 @@ def run_train(args) -> int:
             return 2
 
     cfg = TrainConfig(factor=args.factor, linear_loss=args.linear_loss,
-                      loss_kind=args.loss, amp=getattr(args, "amp", False))
+                      loss_kind=args.loss, amp=getattr(args, "amp", False),
+                      precision=getattr(args, "precision", "highest"))
     if args.batch is not None:
         cfg.batch_size = args.batch
 

@@ -669,7 +669,7 @@ def _scatter_u8(res: np.ndarray, start: int, nx: int, tf: int, out: np.ndarray):
 
 def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
                    chunk: Optional[int] = None, compute_dtype=None,
-                   out16=None,
+                   out16=None, engine: str = "xla",
                    device_put: Callable = jax.device_put) -> list:
     """Upscale a list of images, batching tiles ACROSS images.
 
@@ -678,8 +678,11 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     instead of being paid per image — the reference has no analogue (one
     `graph.forward` per process run, src/main.rs:171).  All images must
     share the input dtype (all uint8 or all float).  Returns outputs in
-    input order (uint8 in => uint8 out).
+    input order (uint8 in => uint8 out).  ``engine``: "xla" (exact or
+    fast tier) or "int8" (quantised trunk, calibrated on tiles sampled
+    across the WHOLE batch).
     """
+    assert engine in ("xla", "int8"), engine
     if out16 is None:   # bf16-stage-output default for the fast tier
         out16 = compute_dtype is not None
     if not images:
@@ -709,7 +712,7 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     zt = np.concatenate(zts); et = np.concatenate(ets); mt = np.concatenate(mts)
     starts = np.cumsum([0] + [m[0] * m[1] for m in metas])  # image offsets
     n_tiles = int(starts[-1])
-    use_packed = (compute_dtype is not None and u8_io
+    use_packed = (engine == "xla" and compute_dtype is not None and u8_io
                   and (tile + 2 * h) % 2 == 0)
     if chunk is None:
         # The measured ladder is for the packed kernel only (see
@@ -720,7 +723,18 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     outs = [np.zeros((m[2] * factor, m[3] * factor, 3), out_dtype)
             for m in metas]
 
-    if use_packed:
+    if engine == "int8":
+        from rusty_sr_tpu.models.quant import (calibrate_act_scales,
+                                               quantize_trunk)
+        idx = np.unique(np.linspace(0, n_tiles - 1,
+                                    min(chunk, n_tiles)).astype(int))
+        sample = zt[idx]
+        if u8_io:
+            sample = sample.astype(np.float32) / 255.0
+        q = quantize_trunk(params, calibrate_act_scales(params, sample))
+        run = lambda z, e, m: _tile_kernel_q8(  # noqa: E731
+            q, z, e, m, factor, tile, u8_io)
+    elif use_packed:
         pp = packed_trunk_params(params, compute_dtype, factor)
         run = lambda z, e, m: _tile_kernel_packed(  # noqa: E731
             pp, z, e, m, factor, tile, compute_dtype)

@@ -28,6 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rusty_sr_tpu import params as params_lib
@@ -51,6 +52,17 @@ class TrainConfig:
     checkpoint_every: int = 100    # src/main.rs:211
     val_every: int = 100           # src/main.rs:233
     remat: bool = False            # jax.checkpoint the forward (big crops)
+    steps_per_dispatch: int = 10   # device-resident multi-step training:
+    #                                upload N batches at once and lax.scan
+    #                                N optimizer steps inside ONE jit
+    #                                dispatch.  At this model's size a
+    #                                single step is ~0.1-0.5 ms of real
+    #                                compute, so per-step host dispatch
+    #                                dominates (probe47: chained 3.14
+    #                                vs host-stepped 4.75 ms/step at the
+    #                                reference batch).  Clamped so
+    #                                checkpoint/validation cadence
+    #                                boundaries stay exact.
     trunk: str = "merged"          # "merged" (default): the train step
     #                                runs the same merged-conv forward the
     #                                inference trunk uses (conv1/2/3 ->
@@ -65,16 +77,22 @@ class TrainConfig:
     #                                linear in the kernel; same products).
     #                                "flat" keeps the literal reference
     #                                topology (debugging).
-    amp: bool = False              # mixed precision: bf16 conv trunk in the
-    #                                fwd/bwd pass, f32 master weights/Adam
-    #                                state/loss (classic AMP; no reference
-    #                                equivalent).  CAVEAT measured on v5e:
-    #                                the bf16 conv BACKWARD lowers to a
-    #                                slow emitter path — batch 4: 54 vs
-    #                                1.8 ms/step (!); it only wins at
-    #                                batch >= ~128 (950 vs 1669 ms).
-    #                                Correctness is tested; use where the
-    #                                toolchain lowers bf16 grads well.
+    amp: bool = False              # mixed precision: bf16 conv trunk in
+    #                                the fwd/bwd pass (single-pass MXU
+    #                                dots), f32 master weights/Adam
+    #                                state/loss (classic AMP; no
+    #                                reference equivalent).  Round-3
+    #                                correction: the round-2 "30x slower"
+    #                                measurement was host-dispatch
+    #                                fiction; under the device-resident
+    #                                loop AMP is ~2x FASTER than f32 at
+    #                                every batch (probe47/48: b4 1.54 vs
+    #                                3.11 ms/step, b32 11.7 vs 24.6).
+    precision: str = "highest"     # f32-path conv precision: "highest"
+    #                                (6-pass, reference-parity class, the
+    #                                default) or "high" (3-pass bf16x3 —
+    #                                ~f32-mantissa class, +15% step rate,
+    #                                probe48).  Ignored under amp.
 
 
 def loss_fn(params, hr, cfg: TrainConfig):
@@ -85,6 +103,25 @@ def loss_fn(params, hr, cfg: TrainConfig):
     """
     lr = make_lr_from_hr(hr, cfg.factor)
     cd = jnp.bfloat16 if cfg.amp else None
+
+    conv_fn = None
+    if cfg.amp:
+        # Explicit bf16 opt-in must run single-pass MXU dots: the default
+        # conv2d_same precision (HIGHEST) would force multi-pass
+        # emulation on the bf16 operands — probe48: 11.7 vs 12.6 ms/step
+        # at batch 32, and semantically amp means one rounding, not six
+        # passes over already-rounded values.
+        from rusty_sr_tpu.ops.conv import _conv_im2col
+
+        def conv_fn(x, w):
+            return _conv_im2col(x, w, jnp.float32, None)
+    elif cfg.precision == "high":
+        # 3-pass bf16x3 dots: ~f32-mantissa class, +15% (probe48).
+        from rusty_sr_tpu.ops.conv import _conv_im2col
+        from jax import lax as _lax
+
+        def conv_fn(x, w):
+            return _conv_im2col(x, w, jnp.float32, _lax.Precision.HIGH)
 
     if cfg.trunk == "merged":
         # TPU-first forward: merge the 27-32-wide same-source convs into
@@ -97,10 +134,11 @@ def loss_fn(params, hr, cfg: TrainConfig):
 
         def fwd(p, x, f):
             return sr_apply_fused(merge_params(p), x, f, compute_dtype=cd,
+                                  conv_fn=conv_fn,
                                   round_output=False, conv0_split=False)
     else:
         def fwd(p, x, f):
-            return sr_apply(p, x, f, compute_dtype=cd)
+            return sr_apply(p, x, f, compute_dtype=cd, conv_fn=conv_fn)
 
     if cfg.remat:
         fwd = jax.checkpoint(fwd, static_argnums=(2,))
@@ -173,6 +211,48 @@ def make_train_step(cfg: TrainConfig, mesh: Optional[Mesh] = None,
         donate_argnums=(0, 1),
     )
     return jitted, opt
+
+
+def make_train_step_multi(cfg: TrainConfig, n_steps: int,
+                          mesh: Optional[Mesh] = None,
+                          *, spatial: bool = False) -> Callable:
+    """Jitted (params, opt_state, hrs) -> (params, opt_state, loss, mse)
+    running ``n_steps`` optimizer steps over hrs (n_steps, N, H, W, 3)
+    in ONE dispatch (lax.scan over the single-step body) — the
+    TPU-resident training pattern: per-step host dispatch costs ~30% of
+    the step at the reference batch size (probe47).  Returns the LAST
+    step's loss/mse, matching what the single-step path would log at a
+    cadence boundary."""
+    opt = make_optimizer(cfg)
+
+    def one(params, opt_state, hr):
+        (loss, mse), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, hr, cfg)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, mse
+
+    def multi(params, opt_state, hrs):
+        def body(carry, hr):
+            p, s = carry
+            p, s, loss, mse = one(p, s, hr)
+            return (p, s), (loss, mse)
+        (params, opt_state), (losses, mses) = lax.scan(
+            body, (params, opt_state), hrs)
+        return params, opt_state, losses[-1], mses[-1]
+
+    if mesh is None:
+        return jax.jit(multi, donate_argnums=(0, 1)), opt
+
+    batch_sh = NamedSharding(
+        mesh, P(None, "data", "spatial" if spatial else None, None, None))
+    if mesh.shape.get("model", 1) > 1:
+        return jax.jit(multi, in_shardings=(None, None, batch_sh),
+                       donate_argnums=(0, 1)), opt
+    repl = NamedSharding(mesh, P())
+    return jax.jit(multi, in_shardings=(repl, repl, batch_sh),
+                   out_shardings=(repl, repl, repl, repl),
+                   donate_argnums=(0, 1)), opt
 
 
 def _np_srgb_to_linear(x: np.ndarray) -> np.ndarray:
@@ -307,12 +387,20 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
             params = jax.device_put(params, repl)
             opt_state = jax.device_put(opt_state, repl)
 
+        batch5_sh = NamedSharding(mesh, P(None, "data", None, None, None))
+
         def to_device(hr):
             return jax.make_array_from_process_local_data(
                 batch_sh, np.asarray(hr, np.float32))
+
+        def to_device_multi(hrs):
+            return jax.make_array_from_process_local_data(batch5_sh, hrs)
     else:
         def to_device(hr):
             return jnp.asarray(hr)
+
+        def to_device_multi(hrs):
+            return jnp.asarray(hrs)
 
     budget_steps = cfg.max_evals // cfg.batch_size
     if max_steps is not None:
@@ -322,35 +410,69 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
     t_start = _time.time()
     step = start_step
     last_native_ckpt = start_step
+
+    def cadence(step, loss, mse):
+        nonlocal last_native_ckpt
+        if not (step % cfg.checkpoint_every == 0 or step == 1):
+            return
+        if param_file is not None:
+            host = jax.tree.map(np.asarray, params)
+            params_lib.save_rsr_file(param_file, host, cfg.factor)
+        if native_ckpt_dir is not None:
+            from rusty_sr_tpu.train import checkpoint as _ck
+            _ck.save_native(native_ckpt_dir, step, params, opt_state)
+            last_native_ckpt = step
+        psnr = None
+        if val_images:
+            psnr = validation_psnr(params, val_images, cfg)
+            log(f"Validation PSNR:\t{psnr}")
+        else:
+            log(f"step {step}\tloss {float(loss):.6g}\t"
+                f"mse {float(mse):.6g}")
+        if mf is not None:
+            rec = {"step": step, "loss": float(loss),
+                   "mse": float(mse), "wall_s": _time.time() - t_start}
+            if psnr is not None:
+                rec["val_psnr"] = psnr
+            mf.write(json.dumps(rec) + "\n")
+            mf.flush()
+
+    # Device-resident multi-step groups: per-step host dispatch costs
+    # ~30% of a step at this model's size (probe47).  Groups start at
+    # step % spd == 0 and spd divides the checkpoint cadence, so every
+    # cadence boundary (step 1, multiples of checkpoint_every) still
+    # lands exactly at the end of a dispatch.
+    spd = max(1, min(cfg.steps_per_dispatch, cfg.checkpoint_every))
+    while cfg.checkpoint_every % spd:
+        spd -= 1
+    multi_fn = None
+    it = iter(train_batches)
     try:
-        for hr in train_batches:
-            if hr is None or step >= budget_steps:
-                break
-            step += 1
-            params, opt_state, loss, mse = step_fn(params, opt_state,
-                                                   to_device(hr))
-            if step % cfg.checkpoint_every == 0 or step == 1:
-                if param_file is not None:
-                    host = jax.tree.map(np.asarray, params)
-                    params_lib.save_rsr_file(param_file, host, cfg.factor)
-                if native_ckpt_dir is not None:
-                    from rusty_sr_tpu.train import checkpoint as _ck
-                    _ck.save_native(native_ckpt_dir, step, params, opt_state)
-                    last_native_ckpt = step
-                psnr = None
-                if val_images:
-                    psnr = validation_psnr(params, val_images, cfg)
-                    log(f"Validation PSNR:\t{psnr}")
-                else:
-                    log(f"step {step}\tloss {float(loss):.6g}\t"
-                        f"mse {float(mse):.6g}")
-                if mf is not None:
-                    rec = {"step": step, "loss": float(loss),
-                           "mse": float(mse), "wall_s": _time.time() - t_start}
-                    if psnr is not None:
-                        rec["val_psnr"] = psnr
-                    mf.write(json.dumps(rec) + "\n")
-                    mf.flush()
+        while step < budget_steps:
+            group = spd if (spd > 1 and step >= 1 and step % spd == 0
+                            and budget_steps - step >= spd) else 1
+            batches = []
+            for _ in range(group):
+                hr = next(it, None)
+                if hr is None:
+                    break
+                batches.append(hr)
+            if len(batches) == spd and group == spd and spd > 1:
+                if multi_fn is None:
+                    multi_fn, _ = make_train_step_multi(cfg, spd, mesh)
+                hrs = np.stack([np.asarray(h, np.float32) for h in batches])
+                params, opt_state, loss, mse = multi_fn(
+                    params, opt_state, to_device_multi(hrs))
+                step += spd
+                cadence(step, loss, mse)
+            else:
+                for hr in batches:
+                    step += 1
+                    params, opt_state, loss, mse = step_fn(
+                        params, opt_state, to_device(hr))
+                    cadence(step, loss, mse)
+            if not batches or len(batches) < group:
+                break   # input stream exhausted
     finally:
         if mf is not None:
             mf.close()

@@ -265,3 +265,53 @@ def test_merged_train_step_matches_flat():
         # post-Adam params; the Adam update scale is ~2e-3)
         np.testing.assert_allclose(outs["merged"][0][k], outs["flat"][0][k],
                                    atol=1e-6, rtol=1e-5, err_msg=k)
+
+
+def test_multi_step_dispatch_matches_single(tmp_path):
+    """steps_per_dispatch>1 (lax.scan inside one jit) must produce the
+    same training trajectory as per-step dispatch — same batches, same
+    order, same final params (f32-noise class)."""
+    import jax
+    import jax.numpy as jnp
+    from rusty_sr_tpu.train.loop import TrainConfig, train_loop
+
+    rng = np.random.default_rng(8)
+    batches = [rng.random((2, 12, 12, 3)).astype(np.float32)
+               for _ in range(16)]
+    quiet = lambda s: None  # noqa: E731
+
+    def run(spd):
+        cfg = TrainConfig(crop=12, batch_size=2, steps_per_dispatch=spd)
+        return train_loop(cfg, iter(batches), max_steps=16, log=quiet,
+                          seed=3)
+    single = run(1)
+    multi = run(5)   # singles 1-5, groups 6-10/11-15, single 16
+    for k in single:
+        np.testing.assert_allclose(np.asarray(multi[k]),
+                                   np.asarray(single[k]),
+                                   atol=1e-6, rtol=1e-5, err_msg=k)
+
+
+def test_precision_high_step_close_to_highest():
+    """cfg.precision='high' (3-pass dots) must track the exact step
+    closely (f32-mantissa class: the post-step params differ by
+    rounding noise, not structure)."""
+    import jax
+    import jax.numpy as jnp
+    from rusty_sr_tpu.train.loop import TrainConfig, make_train_step
+    ph = P.init_params(4, 3)
+    hr = jnp.asarray(np.random.default_rng(6).random((2, 24, 24, 3),
+                                                     dtype=np.float32))
+    outs = {}
+    for prec in ("highest", "high"):
+        params = jax.tree.map(jnp.asarray, ph)
+        cfg = TrainConfig(crop=24, precision=prec)
+        step_fn, opt = make_train_step(cfg)
+        p2, _, loss, _ = step_fn(params, opt.init(params), hr)
+        outs[prec] = (jax.tree.map(np.asarray, p2), float(loss))
+    assert abs(outs["high"][1] - outs["highest"][1]) \
+        < 1e-3 * abs(outs["highest"][1]) + 1e-7
+    for k in outs["highest"][0]:
+        np.testing.assert_allclose(outs["high"][0][k],
+                                   outs["highest"][0][k],
+                                   atol=5e-4, rtol=5e-3, err_msg=k)
