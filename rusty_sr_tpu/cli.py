@@ -162,7 +162,6 @@ def build_train_parser() -> argparse.ArgumentParser:
 def run_upscale(args) -> int:
     import jax.numpy as jnp
     from rusty_sr_tpu import params as params_lib
-    from rusty_sr_tpu.models.sr_net import bilinear_apply, downsample_apply
     from rusty_sr_tpu.parallel.tiling import tiled_sr
     from rusty_sr_tpu.utils.imageio import (
         save_image, load_image_u8, save_image_u8)
@@ -188,17 +187,30 @@ def run_upscale(args) -> int:
         return 1
     compute_dtype = jnp.bfloat16 if args.fast else None
 
-    if args.downsample:
-        print("Downsampling using average pooling of linear RGB values...",
-              end="", flush=True)
-        f = args.factor
-        h, w, _ = img_u8.shape
-        img = img_u8[: h - h % f, : w - w % f].astype(np.float32) / 255.0
-        out = np.asarray(downsample_apply(jnp.asarray(img)[None], f)[0])
-    elif args.parameters == "bilinear":
-        print("Upscaling using bilinear interpolation...", end="", flush=True)
-        img = img_u8.astype(np.float32) / 255.0
-        out = np.asarray(bilinear_apply(jnp.asarray(img)[None], args.factor)[0])
+    if args.downsample or args.parameters == "bilinear":
+        # Non-neural paths ride the fixed-shape tile kernel too: a
+        # whole-image jit would compile per image size (minutes each on
+        # a real TPU).
+        from rusty_sr_tpu.parallel.tiling import tiled_simple
+        if args.downsample:
+            print("Downsampling using average pooling of linear RGB "
+                  "values...", end="", flush=True)
+            f = args.factor
+            h, w, _ = img_u8.shape
+            out = tiled_simple(img_u8[: h - h % f, : w - w % f], f,
+                               mode="downsample")
+        else:
+            print("Upscaling using bilinear interpolation...", end="",
+                  flush=True)
+            out = tiled_simple(img_u8, args.factor, mode="bilinear")
+        print(" Writing file...", end="", flush=True)
+        try:
+            save_image_u8(args.OUTPUT_FILE, out)
+        except OSError as e:
+            print(f"\nCould not write output file: {e}", file=sys.stderr)
+            return 1
+        print(" Done")
+        return 0
     else:
         if args.custom:
             print("Upscaling using custom neural net parameters...", end="", flush=True)
@@ -296,7 +308,6 @@ def _run_upscale_folder(args) -> int:
     import os
     import jax.numpy as jnp
     from rusty_sr_tpu import params as params_lib
-    from rusty_sr_tpu.models.sr_net import bilinear_apply, downsample_apply
     from rusty_sr_tpu.parallel.tiling import tiled_sr_batch
     from rusty_sr_tpu.train.data import list_images
     from rusty_sr_tpu.utils.imageio import load_image_u8, save_image, save_image_u8
@@ -320,18 +331,20 @@ def _run_upscale_folder(args) -> int:
         return 1
 
     if args.downsample or args.parameters == "bilinear":
-        # cheap non-tiled paths: per-image loop
-        fn = downsample_apply if args.downsample else bilinear_apply
+        # non-neural paths: per-image loop over the ONE fixed-shape
+        # tile executable (whole-image jit would recompile per size)
+        from rusty_sr_tpu.parallel.tiling import tiled_simple
         verb = "Downsampling" if args.downsample else "Upscaling (bilinear)"
         print(f"{verb} {len(images)} images...", end="", flush=True)
         for img, i in zip(images, keep):
-            x = img.astype(np.float32) / 255.0
             if args.downsample:
                 f = args.factor
-                h, w, _ = x.shape
-                x = x[: h - h % f, : w - w % f]
-            save_image(out_paths[i], np.asarray(fn(jnp.asarray(x)[None],
-                                                   args.factor)[0]))
+                h, w, _ = img.shape
+                out = tiled_simple(img[: h - h % f, : w - w % f], f,
+                                   mode="downsample")
+            else:
+                out = tiled_simple(img, args.factor, mode="bilinear")
+            save_image_u8(out_paths[i], out)
         print(" Done")
         return 0
 

@@ -633,6 +633,93 @@ def _tile_kernel_fused(packed, zero_tiles, edge_tiles, mask_tiles,
     return depth_to_space(base_ph + expand, factor)
 
 
+@functools.partial(jax.jit, static_argnames=("factor", "tile", "mode",
+                                             "u8_io"))
+def _tile_kernel_simple(edge_tiles, factor: int, tile: int, mode: str,
+                        u8_io: bool):
+    """Fixed-shape tile kernel for the non-neural CLI paths.
+
+    ``bilinear``: sRGB->linear -> half-pixel clamped bilinear xf ->
+    linear->sRGB (reference bilinear_net, src/network.rs:111-123).
+    ``downsample``: sRGB->linear -> fxf mean pool -> linear->sRGB
+    (downsample_net, src/network.rs:125-138; tile % factor == 0).
+
+    Edge-replicated tiles carry real neighbour data at interior tile
+    boundaries and reproduce the LinearInterp clamp at true image
+    borders; pooling needs no halo at factor-aligned tiles.  Without
+    this, each new image size would be a fresh whole-image executable —
+    minutes per size on a real TPU.
+    """
+    from rusty_sr_tpu.ops.color import linear_to_srgb, srgb_to_linear
+    from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
+    from rusty_sr_tpu.ops.resize import avg_pool, bilinear_phases_cropped
+
+    h = HALO
+    x = edge_tiles.astype(jnp.float32) * (1.0 / 255.0) if u8_io \
+        else edge_tiles
+    if mode == "bilinear":
+        lin = srgb_to_linear(x)
+        ph = bilinear_phases_cropped(lin, factor, h, h, tile)
+        out = depth_to_space(linear_to_srgb(ph), factor)
+    else:
+        core = x[:, h:h + tile, h:h + tile, :]
+        out = linear_to_srgb(avg_pool(srgb_to_linear(core), factor))
+    if u8_io:
+        out = jnp.floor(jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5) \
+            .astype(jnp.uint8)
+    return out
+
+
+def tiled_simple(image: np.ndarray, factor: int = 3, *, mode: str,
+                 tile: int = 240, chunk: Optional[int] = None,
+                 device_put: Callable = jax.device_put) -> np.ndarray:
+    """Overlap-tile driver for the bilinear / downsample CLI modes: any
+    image size through ONE fixed-shape executable (`_tile_kernel_simple`).
+    For ``downsample`` the image must already be cropped to a multiple
+    of ``factor`` (the CLI does this, matching the reference)."""
+    assert mode in ("bilinear", "downsample"), mode
+    if mode == "downsample":
+        tile -= tile % factor
+    u8_io = np.asarray(image).dtype == np.uint8
+    img = np.asarray(image) if u8_io else np.asarray(image, np.float32)
+    hgt, wid, _ = img.shape
+    h = HALO
+    ny = max(1, -(-hgt // tile))
+    nx = max(1, -(-wid // tile))
+    if chunk is None:
+        chunk = _DEFAULT_CHUNK
+    if u8_io:
+        _, et, _ = _gather_u8(img, tile, h, ny, nx)
+    else:
+        _, et, _ = native.gather_tiles(img, tile, h, ny, nx)
+    side = tile + 2 * h
+    n_tiles = ny * nx
+    tf = tile * factor if mode == "bilinear" else tile // factor
+    oh = hgt * factor if mode == "bilinear" else hgt // factor
+    ow = wid * factor if mode == "bilinear" else wid // factor
+    out_dtype = np.uint8 if u8_io else np.float32
+    out = np.zeros((oh, ow, 3), out_dtype)
+    pending = []
+    for start in range(0, n_tiles, chunk):
+        stop = min(start + chunk, n_tiles)
+        cnt = stop - start
+        eb = et[start:stop]
+        if cnt < chunk:
+            eb = np.concatenate(
+                [eb, np.zeros((chunk - cnt, side, side, 3), et.dtype)])
+        pending.append((start, cnt, _tile_kernel_simple(
+            device_put(eb), factor, tile, mode, u8_io)))
+    for _, _, res in pending:
+        if hasattr(res, "copy_to_host_async"):
+            res.copy_to_host_async()
+    for start, cnt, res in pending:
+        if u8_io:
+            _scatter_u8(np.asarray(res[:cnt]), start, nx, tf, out)
+        else:
+            native.scatter_tiles(np.asarray(res[:cnt]), start, nx, out)
+    return out
+
+
 def _gather_u8(img: np.ndarray, tile: int, h: int, ny: int, nx: int):
     """uint8 tile gather (zero-pad, edge-pad, mask), numpy host path."""
     hgt, wid, _ = img.shape

@@ -232,3 +232,34 @@ def test_phase_split_packed_matches_dense_packed(anime_params, cartoon):
         jnp.bfloat16))
     d = np.abs(dense.astype(np.int32) - ps.astype(np.int32))
     assert d.max() <= 1 and (d > 0).mean() < 1e-3
+
+
+def test_tiled_simple_bilinear_matches_whole(cartoon):
+    """The fixed-shape tiled bilinear path must match the whole-image
+    bilinear_apply to the u8 rounding class (and keep the CLI's -p
+    bilinear at zero recompiles across image sizes)."""
+    from rusty_sr_tpu.models.sr_net import bilinear_apply
+    from rusty_sr_tpu.parallel.tiling import tiled_simple
+    from rusty_sr_tpu.utils.imageio import to_u8
+    img_u8 = (np.asarray(cartoon) * 255).round().astype(np.uint8)
+    got = tiled_simple(img_u8, 3, mode="bilinear", tile=50)
+    whole = to_u8(np.clip(np.asarray(bilinear_apply(
+        jnp.asarray(img_u8.astype(np.float32) / 255.0)[None], 3)[0]),
+        0, 1))
+    d = np.abs(got.astype(np.int32) - whole.astype(np.int32))
+    assert d.max() <= 1 and (d > 0).mean() < 1e-3
+
+
+def test_tiled_simple_downsample_matches_whole(cartoon):
+    from rusty_sr_tpu.models.sr_net import downsample_apply
+    from rusty_sr_tpu.parallel.tiling import tiled_simple
+    from rusty_sr_tpu.utils.imageio import to_u8
+    img_u8 = (np.asarray(cartoon) * 255).round().astype(np.uint8)
+    h, w, _ = img_u8.shape
+    img_u8 = img_u8[: h - h % 3, : w - w % 3]
+    got = tiled_simple(img_u8, 3, mode="downsample", tile=51)
+    whole = to_u8(np.clip(np.asarray(downsample_apply(
+        jnp.asarray(img_u8.astype(np.float32) / 255.0)[None], 3)[0]),
+        0, 1))
+    d = np.abs(got.astype(np.int32) - whole.astype(np.int32))
+    assert d.max() <= 1 and (d > 0).mean() < 1e-3
