@@ -68,22 +68,21 @@ def upscale(image: np.ndarray, weights: Union[str, dict] = "imagenet",
 
 
 def upscale_bilinear(image: np.ndarray, factor: int = 3) -> np.ndarray:
-    """Gamma-correct bilinear upscale (the reference's `-p bilinear`)."""
-    import jax.numpy as jnp
-    from rusty_sr_tpu.models.sr_net import bilinear_apply
-    out = bilinear_apply(jnp.asarray(image, jnp.float32)[None], factor)
-    return np.asarray(out[0])
+    """Gamma-correct bilinear upscale (the reference's `-p bilinear`),
+    through the fixed-shape tile path (zero recompiles across sizes).
+    uint8 in => uint8 out; float in => float out."""
+    from rusty_sr_tpu.parallel.tiling import tiled_simple
+    return tiled_simple(np.asarray(image), factor, mode="bilinear")
 
 
 def downscale(image: np.ndarray, factor: int = 3) -> np.ndarray:
-    """Gamma-correct f x f mean downsample (the reference's `-d`)."""
-    import jax.numpy as jnp
-    from rusty_sr_tpu.models.sr_net import downsample_apply
-    img = np.asarray(image, np.float32)
+    """Gamma-correct f x f mean downsample (the reference's `-d`),
+    through the fixed-shape tile path (zero recompiles across sizes)."""
+    from rusty_sr_tpu.parallel.tiling import tiled_simple
+    img = np.asarray(image)
     h, w, _ = img.shape
     img = img[: h - h % factor, : w - w % factor]
-    out = downsample_apply(jnp.asarray(img)[None], factor)
-    return np.asarray(out[0])
+    return tiled_simple(img, factor, mode="downsample")
 
 
 def train_folder(folder: str, *, steps: Optional[int] = None,
@@ -92,14 +91,23 @@ def train_folder(folder: str, *, steps: Optional[int] = None,
                  param_file: Optional[str] = None,
                  linear_loss: bool = False, loss: str = "mse",
                  val_folder: Optional[str] = None, val_max: Optional[int] = None,
-                 metrics_file: Optional[str] = None, seed: int = 0):
-    """Train on an image folder with the reference protocol; returns params."""
+                 metrics_file: Optional[str] = None,
+                 ckpt_dir: Optional[str] = None,
+                 resume_from: Optional[str] = None,
+                 amp: bool = False, precision: str = "highest",
+                 seed: int = 0):
+    """Train on an image folder with the reference protocol; returns params.
+
+    ``ckpt_dir``/``resume_from`` give resumable native checkpoints
+    (params + Adam state + step); ``amp`` is the bf16 mixed-precision
+    tier (~2x faster, PERF.md); ``precision`` 'highest' | 'high'."""
     from rusty_sr_tpu.train.data import (
         ImageFolderSupplier, PrefetchBuffer, list_images)
     from rusty_sr_tpu.train.loop import TrainConfig, train_loop
     from rusty_sr_tpu.utils.imageio import load_image
 
-    cfg = TrainConfig(factor=factor, linear_loss=linear_loss, loss_kind=loss)
+    cfg = TrainConfig(factor=factor, linear_loss=linear_loss, loss_kind=loss,
+                      amp=amp, precision=precision)
     sup = ImageFolderSupplier(folder, recurse=recurse,
                               crop=(cfg.crop, cfg.crop), seed=seed)
     buf = PrefetchBuffer(sup, depth=128, batch_size=cfg.batch_size)
@@ -128,6 +136,7 @@ def train_folder(folder: str, *, steps: Optional[int] = None,
         return train_loop(cfg, batches(), start_params=start_tree,
                           param_file=param_file, val_images=val_images,
                           max_steps=steps, metrics_file=metrics_file,
+                          native_ckpt_dir=ckpt_dir, resume_from=resume_from,
                           seed=seed)
     finally:
         buf.close()
