@@ -130,6 +130,13 @@ def build_train_parser() -> argparse.ArgumentParser:
                         "forward/backward pass, f32 master weights and "
                         "optimizer state — ~2x faster than f32 at every "
                         "batch size on v5e (PERF.md probe47/48)")
+    t.add_argument("--trunk", choices=["merged", "flat", "packed"],
+                   default="merged",
+                   help="train-step forward form: 'merged' (wide convA/"
+                        "B/C, the TPU-first default), 'flat' (literal "
+                        "reference topology), 'packed' (bf16 space-to-"
+                        "depth trunk — the inference fast-tier packing, "
+                        "an AMP-class tier)")
     t.add_argument("--precision", choices=["highest", "high"],
                    default="highest",
                    help="f32 conv precision: 'highest' (6-pass, "
@@ -537,7 +544,8 @@ def run_train(args) -> int:
 
     cfg = TrainConfig(factor=args.factor, linear_loss=args.linear_loss,
                       loss_kind=args.loss, amp=getattr(args, "amp", False),
-                      precision=getattr(args, "precision", "highest"))
+                      precision=getattr(args, "precision", "highest"),
+                      trunk=getattr(args, "trunk", "merged"))
     if args.batch is not None:
         cfg.batch_size = args.batch
 

@@ -154,6 +154,57 @@ def sr_apply_fused(mparams, x: jnp.ndarray, factor: int = 3, *,
     return depth_to_space(total, factor)
 
 
+def sr_apply_packed(mparams, x: jnp.ndarray, factor: int = 3, *,
+                    compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """TRAINING variant of the inference packed-s2d trunk: the whole net
+    at quarter resolution / 4x channels (parallel.tiling packing, which
+    took inference 609 -> 1504 MPix/s), expressed in differentiable ops
+    (im2col dots at DEFAULT precision — `conv_general_dilated` cannot
+    differentiate mixed bf16/f32 operand gradients) so
+    `jax.value_and_grad` flows back through the traced weight packing to
+    the 19 reference tensors.  Requires even H, W (training crops are).
+    Same products as the flat net in the bf16 class; no mask/halo —
+    zero Same-padding in packed space equals zero padding in the
+    original space for even crops.
+    """
+    from rusty_sr_tpu.ops.conv import _conv_im2col
+    from rusty_sr_tpu.parallel.tiling import (_conv0_s2d_weights,
+                                              _s2d_conv_weights)
+
+    cd = compute_dtype
+    p = mparams
+    n = p["f_bias"].shape[0]
+    e = p["expand_bias"].shape[0]
+    N, H, W, C = x.shape
+    xp = x.reshape(N, H // 2, 2, W // 2, 2, C) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(N, H // 2, W // 2, 4 * C)
+
+    def cv(t, w):
+        return _conv_im2col(t.astype(cd), w.astype(cd), jnp.float32, None)
+
+    def tl(v):
+        return jnp.tile(v, 4)
+
+    f_ = belu(cv(xp, _conv0_s2d_weights(p["conv0"]))
+              + tl(p["f_bias"]), tl(p["f_belu"]))
+    a = cv(f_, _s2d_conv_weights(p["convA"], [n, n, n]))
+    Nn = 4 * n
+    l1 = belu(a[..., :Nn] + tl(p["l1_bias"]), tl(p["l1_belu"]))
+    b = cv(l1, _s2d_conv_weights(p["convB"], [n, n, e]))
+    l2 = belu(a[..., Nn:2 * Nn] + b[..., :Nn] + tl(p["l2_bias"]),
+              tl(p["l2_belu"]))
+    c = cv(l2, _s2d_conv_weights(p["convC"], [n, e]))
+    l3 = belu(a[..., 2 * Nn:3 * Nn] + b[..., Nn:2 * Nn] + c[..., :Nn]
+              + tl(p["l3_bias"]), tl(p["l3_belu"]))
+    d = cv(l3, _s2d_conv_weights(p["conv10"], [e]))
+    total = (b[..., 2 * Nn:2 * Nn + 4 * e] + c[..., Nn:Nn + 4 * e] + d
+             + tl(p["expand_bias"]))
+    expand = total.reshape(N, H // 2, W // 2, 2, 2, e) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(N, H, W, e)
+    base_ph = bilinear_phases(x, factor)
+    return depth_to_space(base_ph + expand.astype(base_ph.dtype), factor)
+
+
 def bilinear_apply(x: jnp.ndarray, factor: int = 3) -> jnp.ndarray:
     """`-p bilinear` path: sRGB→linear → bilinear ×f → linear→sRGB
     (reference src/network.rs:111-123)."""

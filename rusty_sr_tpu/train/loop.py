@@ -123,7 +123,16 @@ def loss_fn(params, hr, cfg: TrainConfig):
         def conv_fn(x, w):
             return _conv_im2col(x, w, jnp.float32, _lax.Precision.HIGH)
 
-    if cfg.trunk == "merged":
+    if cfg.trunk == "packed":
+        # bf16 space-to-depth trunk (the inference fast-tier packing,
+        # differentiable form) — an AMP-class tier: quarter resolution,
+        # 4x channels, single-pass MXU dots.  See models.sr_apply_packed.
+        from rusty_sr_tpu.models.sr_net import merge_params, sr_apply_packed
+
+        def fwd(p, x, f):
+            return sr_apply_packed(merge_params(p), x, f,
+                                   compute_dtype=jnp.bfloat16)
+    elif cfg.trunk == "merged":
         # TPU-first forward: merge the 27-32-wide same-source convs into
         # the wide convA/B/C stages the inference trunk runs (3.4x there).
         # merge_params is traced inside the step: the concat's gradient

@@ -32,7 +32,8 @@ def main():
     mode, gb = sys.argv[1], float(sys.argv[2])
     tile = 242
     side = tile + 2 * HALO
-    B = 24
+    B = 112 if mode.endswith("_112") else 24
+    mode = mode.replace("_112", "")
     params = trunk_params(
         {k: jnp.asarray(v) for k, v in load_builtin("imagenet").items()})
     filler = jax.device_put(np.zeros(int(gb * 1e9 // 4), np.float32))
@@ -50,7 +51,9 @@ def main():
         elif mode == "int8":
             from rusty_sr_tpu.models.quant import (calibrate_act_scales,
                                                    quantize_trunk)
-            sample = np.asarray(z[:4]).astype(np.float32) / 255.0
+            # sample size == product calibration path (chunk tiles) so
+            # the calibration forward reuses the cached executable
+            sample = np.asarray(z).astype(np.float32) / 255.0
             q = quantize_trunk(params,
                                calibrate_act_scales(params, sample))
             out = _tile_kernel_q8(q, z, e, m, 3, tile, True)

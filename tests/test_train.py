@@ -315,3 +315,42 @@ def test_precision_high_step_close_to_highest():
         np.testing.assert_allclose(outs["high"][0][k],
                                    outs["highest"][0][k],
                                    atol=5e-4, rtol=5e-3, err_msg=k)
+
+
+def test_packed_trunk_training(tmp_path):
+    """trunk='packed' (differentiable s2d trunk): gradients reach all 19
+    reference tensors, outputs track the amp (bf16 merged) forward in
+    the bf16 class, and a few steps reduce the loss."""
+    import jax
+    import jax.numpy as jnp
+    from rusty_sr_tpu.models.sr_net import (merge_params, sr_apply,
+                                            sr_apply_packed)
+    from rusty_sr_tpu.train.loop import TrainConfig, make_train_step
+
+    ph = P.init_params(7, 3)
+    params = jax.tree.map(jnp.asarray, ph)
+    x = jnp.asarray(np.random.default_rng(2).random((2, 16, 16, 3),
+                                                    dtype=np.float32))
+    ref = np.asarray(sr_apply(params, x, 3))
+    got = np.asarray(sr_apply_packed(merge_params(params), x, 3))
+    assert np.max(np.abs(got - ref)) < 3e-2      # bf16 class
+    assert np.mean(np.abs(got - ref)) < 3e-3
+
+    cfg = TrainConfig(crop=24, trunk="packed", l2_reg=0.0)
+    from rusty_sr_tpu.train.loop import loss_fn
+    hr = jnp.asarray(np.random.default_rng(3).random((2, 24, 24, 3),
+                                                     dtype=np.float32))
+    grads = jax.grad(lambda p: loss_fn(p, hr, cfg)[0])(params)
+    for name, g in grads.items():
+        assert np.all(np.isfinite(np.asarray(g))), name
+        assert float(jnp.abs(g).max()) > 0.0, f"zero grad for {name}"
+
+    step_fn, opt = make_train_step(cfg)
+    p2 = jax.tree.map(jnp.copy, params)
+    st = opt.init(p2)
+    first = None
+    for _ in range(25):
+        p2, st, loss, mse = step_fn(p2, st, hr)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first * 0.9
