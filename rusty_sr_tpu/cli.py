@@ -56,9 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fast", action="store_true",
                    help="bf16 conv trunk (higher throughput, ~1 code max deviation)")
     p.add_argument("--engine", choices=["xla", "int8", "fused"], default="xla",
-                   help="device engine: 'int8' runs the trunk quantised "
-                        "(calibrated per-channel scales, ~55+ dB parity); "
-                        "'fused' uses the Pallas trunk kernel")
+                   help="device engine. 'int8' and 'fused' are "
+                        "EXPERIMENTAL: int8 (quantised trunk, ~55 dB "
+                        "parity) is slower than --fast AND peaks higher "
+                        "in HBM (its calibration pass, PERF.md probe45b); "
+                        "'fused' is the Pallas trunk kernel")
     p.add_argument("--mesh", metavar="SPEC", default=None,
                    help="shard the tile batch over a device mesh: "
                         "'data=N' or just 'N' (batch-of-tiles data "
