@@ -79,15 +79,35 @@ def _act_minmax(mparams, x):
     return {"f": rng(f), "l1": rng(l1), "l2": rng(l2)}
 
 
-def calibrate_act_scales(mparams, sample_x, margin: float = 0.05) -> dict:
+def calibrate_act_scales(mparams, sample_x, margin: float = 0.05,
+                         microbatch: int = 4) -> dict:
     """Per-channel asymmetric int8 activation ranges from a sample.
 
     ``sample_x``: (N,H,W,3) f32 sRGB sample (tiles sampled across the
     target image work well — self-calibration).  ``margin`` widens the
     ranges to absorb off-sample extremes (saturation clips the rest).
     Returns {stage: (lo, hi)}.
+
+    The sample runs through the exact f32 forward in ``microbatch``-
+    sized slices with per-channel min/max folded across slices: a
+    whole-sample pass materialises im2col patches that were the HBM
+    high-water of the entire system (~0.3 GB/tile at tile=242 — the
+    measured OOM in PERF.md probe45b); micro-batching caps the peak at
+    ~1.3 GB with identical resulting ranges (min/max is associative).
     """
-    mm = _act_minmax(mparams, jnp.asarray(sample_x, jnp.float32))
+    x = jnp.asarray(sample_x, jnp.float32)
+    pad = (-x.shape[0]) % microbatch
+    if pad:  # duplicate tiles: min/max unchanged, ONE executable shape
+        x = jnp.concatenate([x, x[:pad]])
+    mm: dict = {}
+    for i in range(0, x.shape[0], microbatch):
+        part = _act_minmax(mparams, x[i:i + microbatch])
+        for k, (lo, hi) in part.items():
+            if k in mm:
+                mm[k] = (jnp.minimum(mm[k][0], lo),
+                         jnp.maximum(mm[k][1], hi))
+            else:
+                mm[k] = (lo, hi)
     g = 1.0 + margin
     return {k: (lo * g, hi * g) for k, (lo, hi) in mm.items()}
 
