@@ -26,6 +26,8 @@ import jax.numpy as jnp
 
 
 def main():
+    from rusty_sr_tpu.utils.platform import ensure_device_or_respawn
+    ensure_device_or_respawn()  # survive transient PJRT-plugin flakes
     from rusty_sr_tpu import load_builtin
     from rusty_sr_tpu.parallel.tiling import (_tile_kernel_packed,
                                               packed_trunk_params,

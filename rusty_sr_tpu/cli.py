@@ -658,6 +658,11 @@ def main(argv=None) -> int:
         # (e.g. the axon plugin) would otherwise win.
         import jax
         jax.config.update("jax_platforms", args.platform)
+    else:
+        # The host's TPU plugin registers per-process and can flake
+        # transiently; recover by re-exec rather than crashing mid-run.
+        from rusty_sr_tpu.utils.platform import ensure_device_or_respawn
+        ensure_device_or_respawn()
     runner = (run_watch if is_watch else
               run_train if is_train else run_upscale)
     if getattr(args, "trace", None):
