@@ -445,6 +445,20 @@ def run_watch(args) -> int:
 
     done: dict = {}      # path -> mtime processed (or last failed attempt)
     fails: dict = {}     # path -> attempt count
+    name_owner: dict = {}  # output name -> source path (watcher lifetime)
+    int8_cache: dict = {}  # int8 trunk calibrated once, on the first batch
+
+    def pick_name(f: str) -> str:
+        # Stable output name per SOURCE path for the watcher's lifetime:
+        # batch-local de-dup (_output_names) is not enough here because
+        # 'a.png' and 'a.jpg' can arrive in DIFFERENT poll batches and
+        # would silently overwrite each other's 'a.png' output.
+        stem = os.path.splitext(os.path.basename(f))[0] + ".png"
+        if name_owner.setdefault(stem, f) == f:
+            return stem
+        full = os.path.basename(f) + ".png"
+        name_owner[full] = f
+        return full
     print(f"Watching {args.INPUT_DIR} (poll {args.poll}s; Ctrl-C to stop)",
           flush=True)
     try:
@@ -470,8 +484,9 @@ def run_watch(args) -> int:
                 outs = tiled_sr_batch(tree, batch_imgs, args.factor,
                                       tile=args.tile, chunk=args.chunk,
                                       compute_dtype=compute_dtype,
-                                      engine=getattr(args, "engine", "xla"))
-                names = _output_names([f for f, _ in batch_paths])
+                                      engine=getattr(args, "engine", "xla"),
+                                      int8_cache=int8_cache)
+                names = [pick_name(f) for f, _ in batch_paths]
                 n_ok = 0
                 for (f, mt), name, out in zip(batch_paths, names, outs):
                     try:
@@ -621,7 +636,10 @@ def run_train(args) -> int:
                    val_images=val_images,
                    max_steps=args.max_steps,
                    metrics_file=args.metrics if is_main else None,
-                   native_ckpt_dir=args.ckpt_dir if is_main else None,
+                   # orbax saves are collective under multi-host (every
+                   # process participates in the barrier; only the
+                   # primary writes) — pass the dir on ALL processes.
+                   native_ckpt_dir=args.ckpt_dir,
                    resume_from=resume_from,
                    log=print if is_main else (lambda s: None),
                    mesh=mesh)
@@ -658,9 +676,13 @@ def main(argv=None) -> int:
         # (e.g. the axon plugin) would otherwise win.
         import jax
         jax.config.update("jax_platforms", args.platform)
-    else:
+    elif getattr(args, "coordinator", None) is None:
         # The host's TPU plugin registers per-process and can flake
         # transiently; recover by re-exec rather than crashing mid-run.
+        # Skipped for multi-host runs: jax.distributed.initialize (in
+        # run_train) must be the FIRST backend touch — probing
+        # jax.devices() here would finalise the local backend and make
+        # initialize() raise.
         from rusty_sr_tpu.utils.platform import ensure_device_or_respawn
         ensure_device_or_respawn()
     runner = (run_watch if is_watch else

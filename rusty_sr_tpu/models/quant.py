@@ -98,7 +98,9 @@ def calibrate_act_scales(mparams, sample_x, margin: float = 0.05,
     x = jnp.asarray(sample_x, jnp.float32)
     pad = (-x.shape[0]) % microbatch
     if pad:  # duplicate tiles: min/max unchanged, ONE executable shape
-        x = jnp.concatenate([x, x[:pad]])
+        # modular indexing, not x[:pad] — a sample SMALLER than the
+        # microbatch (single-tile image) must still pad to full size
+        x = jnp.concatenate([x, x[jnp.arange(pad) % x.shape[0]]])
     mm: dict = {}
     for i in range(0, x.shape[0], microbatch):
         part = _act_minmax(mparams, x[i:i + microbatch])

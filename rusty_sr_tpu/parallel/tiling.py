@@ -757,6 +757,7 @@ def _scatter_u8(res: np.ndarray, start: int, nx: int, tf: int, out: np.ndarray):
 def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
                    chunk: Optional[int] = None, compute_dtype=None,
                    out16=None, engine: str = "xla",
+                   int8_cache: Optional[dict] = None,
                    device_put: Callable = jax.device_put) -> list:
     """Upscale a list of images, batching tiles ACROSS images.
 
@@ -811,14 +812,24 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
             for m in metas]
 
     if engine == "int8":
-        from rusty_sr_tpu.models.quant import (calibrate_act_scales,
-                                               quantize_trunk)
-        idx = np.unique(np.linspace(0, n_tiles - 1,
-                                    min(chunk, n_tiles)).astype(int))
-        sample = zt[idx]
-        if u8_io:
-            sample = sample.astype(np.float32) / 255.0
-        q = quantize_trunk(params, calibrate_act_scales(params, sample))
+        # ``int8_cache``: caller-owned dict for resident processes (the
+        # watch server): calibration + weight quantisation run once, on
+        # the first batch, and are frozen for the caller's lifetime —
+        # repeat work is skipped AND an input's output no longer depends
+        # on which other images happened to share its poll batch.
+        if int8_cache is not None and "q" in int8_cache:
+            q = int8_cache["q"]
+        else:
+            from rusty_sr_tpu.models.quant import (calibrate_act_scales,
+                                                   quantize_trunk)
+            idx = np.unique(np.linspace(0, n_tiles - 1,
+                                        min(chunk, n_tiles)).astype(int))
+            sample = zt[idx]
+            if u8_io:
+                sample = sample.astype(np.float32) / 255.0
+            q = quantize_trunk(params, calibrate_act_scales(params, sample))
+            if int8_cache is not None:
+                int8_cache["q"] = q
         run = lambda z, e, m: _tile_kernel_q8(  # noqa: E731
             q, z, e, m, factor, tile, u8_io)
     elif use_packed:

@@ -288,6 +288,25 @@ def _np_make_lr(hr: np.ndarray, f: int) -> np.ndarray:
     return _np_linear_to_srgb(lin)
 
 
+def _host_tree(tree):
+    """Host-local numpy copy of a (possibly multi-host global) tree.
+
+    Fully-replicated global arrays are read from the local replica;
+    sharded ones are allgathered.  The gather is a COLLECTIVE: under
+    multi-host, every process must call this at the same program point
+    (the checkpoint cadence does) or the runtime deadlocks.
+    """
+    def one(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.is_fully_replicated:
+                return np.asarray(x)
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x))
+        return np.asarray(x)
+
+    return jax.tree.map(one, tree)
+
+
 def validation_psnr(params, val_images, cfg: TrainConfig,
                     apply_fn: Optional[Callable] = None,
                     tile: int = 242) -> float:
@@ -360,23 +379,45 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
     if resume_from is not None:
         import os
         from rusty_sr_tpu.train import checkpoint as _ck
-        path = _ck.latest_native(resume_from) or resume_from
-        if not os.path.isdir(path):
+        path = _ck.latest_native(resume_from)
+        if path is None and os.path.isdir(resume_from) and \
+                os.path.basename(os.path.normpath(resume_from)) \
+                .startswith("step_"):
+            path = resume_from  # an explicit step_* checkpoint path
+        is_own_ckpt_dir = native_ckpt_dir is not None and \
+            os.path.realpath(resume_from) == os.path.realpath(native_ckpt_dir)
+        if path is None and (os.path.isdir(resume_from) or is_own_ckpt_dir):
+            # Idempotent-restart contract: `--resume` pointing at this
+            # run's own checkpoint dir (or any dir that simply has no
+            # checkpoints YET — the first launch of a wrapper that
+            # always passes --resume) starts fresh rather than crashing.
+            log(f"No checkpoint under {resume_from!r} yet — "
+                "starting fresh")
+        elif path is None:
             raise RuntimeError(f"no native checkpoint found at "
                                f"{resume_from!r}")
-        like = {"params": jax.tree.map(np.asarray, params),
-                "opt_state": jax.tree.map(np.asarray, opt_state),
-                "step": 0}
-        try:
-            r_params, r_opt, start_step = _ck.restore_native(path, like)
-        except (ValueError, KeyError):
-            # params-only checkpoint (saved without optimizer state)
-            like.pop("opt_state")
-            r_params, r_opt, start_step = _ck.restore_native(path, like)
-        params = jax.tree.map(jnp.asarray, r_params)
-        if r_opt is not None:
-            opt_state = jax.tree.map(jnp.asarray, r_opt)
-        log(f"Resumed from {path} at step {start_step}")
+        if path is not None:
+            like = {"params": jax.tree.map(np.asarray, params),
+                    "opt_state": jax.tree.map(np.asarray, opt_state),
+                    "step": 0}
+            try:
+                try:
+                    r_params, r_opt, start_step = \
+                        _ck.restore_native(path, like)
+                except (ValueError, KeyError):
+                    # params-only checkpoint (saved w/o optimizer state)
+                    like.pop("opt_state")
+                    r_params, r_opt, start_step = \
+                        _ck.restore_native(path, like)
+            except FileNotFoundError as e:
+                # surface as the CLI's clean error contract, not an
+                # orbax traceback
+                raise RuntimeError(
+                    f"unreadable checkpoint at {path!r}: {e}") from e
+            params = jax.tree.map(jnp.asarray, r_params)
+            if r_opt is not None:
+                opt_state = jax.tree.map(jnp.asarray, r_opt)
+            log(f"Resumed from {path} at step {start_step}")
 
     if mesh is not None and mesh.shape.get("model", 1) > 1:
         from rusty_sr_tpu.parallel.mesh import shard_train_state
@@ -424,16 +465,26 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
         nonlocal last_native_ckpt
         if not (step % cfg.checkpoint_every == 0 or step == 1):
             return
+        # Multi-host: params/opt state live on the GLOBAL mesh and are
+        # not fully addressable from one process.  Materialise host-local
+        # numpy copies here, on EVERY process (the gather is a collective
+        # when TP-sharded), so the per-process sinks below — .rsr write,
+        # orbax save, validation — only ever touch local data.
+        if multihost:
+            host_params = _host_tree(params)
+            host_opt = _host_tree(opt_state)
+        else:
+            host_params, host_opt = params, opt_state
         if param_file is not None:
-            host = jax.tree.map(np.asarray, params)
+            host = jax.tree.map(np.asarray, host_params)
             params_lib.save_rsr_file(param_file, host, cfg.factor)
         if native_ckpt_dir is not None:
             from rusty_sr_tpu.train import checkpoint as _ck
-            _ck.save_native(native_ckpt_dir, step, params, opt_state)
+            _ck.save_native(native_ckpt_dir, step, host_params, host_opt)
             last_native_ckpt = step
         psnr = None
         if val_images:
-            psnr = validation_psnr(params, val_images, cfg)
+            psnr = validation_psnr(host_params, val_images, cfg)
             log(f"Validation PSNR:\t{psnr}")
         else:
             log(f"step {step}\tloss {float(loss):.6g}\t"

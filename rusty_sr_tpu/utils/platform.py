@@ -23,16 +23,40 @@ import time
 
 _RETRY_ENV = "_RSR_PLATFORM_RETRY"
 
+# The one failure registration flakes produce; anything else is a real
+# configuration error and must surface immediately, not after 3 respawns.
+_TRANSIENT_MARKERS = ("not in the list of known backends",
+                      "Unable to initialize backend")
+
+
+def _respawn_argv() -> list:
+    """argv for the re-exec, preserving ``python -m pkg.mod`` semantics.
+
+    A plain ``[sys.executable] + sys.argv`` would re-run a ``-m`` launch
+    as a script exec (sys.argv[0] is the module's file path), putting
+    the package dir — not the cwd — on sys.path and breaking absolute
+    imports.  When __main__ was loaded from a module spec, respawn with
+    the same ``-m``.
+    """
+    spec = getattr(sys.modules.get("__main__"), "__spec__", None)
+    if spec is not None and spec.name:
+        mod = spec.name
+        if mod.endswith(".__main__"):  # python -m pkg
+            mod = mod[: -len(".__main__")]
+        return [sys.executable, "-m", mod] + sys.argv[1:]
+    return [sys.executable] + sys.argv
+
 
 def ensure_device_or_respawn(max_retries: int = 3, sleep_s: float = 20.0):
     """Fail-fast check that a jax backend is live; re-exec on flake.
 
     Call at the TOP of a chip-entry script (after arg parsing is fine —
-    ``sys.argv`` is preserved verbatim across the exec).  No-op when the
-    backend initialises (including CPU-forced test runs).  On the known
-    transient plugin-registration failure, sleeps and replaces this
-    process with a fresh interpreter (same argv/env + retry counter);
-    after ``max_retries`` respawns the original error propagates.
+    the argv is preserved across the exec, including ``python -m``
+    launches).  No-op when the backend initialises (including CPU-forced
+    test runs).  On the known transient plugin-registration failure,
+    sleeps and replaces this process with a fresh interpreter (same
+    argv/env + retry counter); after ``max_retries`` respawns — or on
+    any error that is not the known flake — the error propagates.
     """
     import jax
 
@@ -40,6 +64,8 @@ def ensure_device_or_respawn(max_retries: int = 3, sleep_s: float = 20.0):
         jax.devices()
         return
     except RuntimeError as e:
+        if not any(m in str(e) for m in _TRANSIENT_MARKERS):
+            raise  # permanent misconfiguration: fail fast
         tries = int(os.environ.get(_RETRY_ENV, "0"))
         if tries >= max_retries:
             raise RuntimeError(
@@ -51,4 +77,4 @@ def ensure_device_or_respawn(max_retries: int = 3, sleep_s: float = 20.0):
         time.sleep(sleep_s)
         env = dict(os.environ)
         env[_RETRY_ENV] = str(tries + 1)
-        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        os.execve(sys.executable, _respawn_argv(), env)

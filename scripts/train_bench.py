@@ -3,9 +3,14 @@
 Sweeps batch size, trunk form (merged convA/B/C — the round-3 default —
 vs the flat 9-conv reference topology) and rematerialisation at the
 reference's 192^2 HR crops (protocol: src/main.rs:187,199-205).
-Host-stepped with varied batches — the end-to-end rate the training loop
-actually achieves (async dispatch pipelines steps; params/opt-state
-buffers are donated).
+
+Protocol: ITERS steps chained inside ONE dispatch via
+make_train_step_multi (lax.scan of the step body — the same device-
+resident pattern the product train_loop uses via steps_per_dispatch),
+with the batch stack varied every timed round.  Host-stepped timing at
+this model's size measures dispatch, not compute (CLAUDE.md; the
+round-2 numbers it produced are retracted in PERF.md) — never time that
+way here.
 
 Prints a table (with a training-MFU column: fwd+bwd ~= 3x forward FLOPs,
 130,176 MAC/LR px, vs the chip's 197 TFLOP/s bf16 peak) plus one
@@ -24,10 +29,10 @@ import jax
 import jax.numpy as jnp
 
 from rusty_sr_tpu import params as P
-from rusty_sr_tpu.train.loop import TrainConfig, make_train_step
+from rusty_sr_tpu.train.loop import TrainConfig, make_train_step_multi
 
-ITERS = 30
-
+ITERS = 30        # steps chained per dispatch
+ROUNDS = 3        # timed rounds, inputs varied per round; best-of
 
 MAC_PER_LR_PX = 130_176          # SURVEY.md §6 (conv shapes)
 PEAK_BF16 = 197e12               # v5e bf16 peak, PERF.md convention
@@ -38,22 +43,30 @@ def bench(batch: int, remat: bool, crop: int = 192,
     cfg = TrainConfig(batch_size=batch, crop=crop, remat=remat,
                       trunk=trunk, amp=amp)
     params = jax.tree.map(jnp.asarray, P.init_params(0, cfg.factor))
-    step_fn, opt = make_train_step(cfg)
+    step_fn, opt = make_train_step_multi(cfg, ITERS)
     st = opt.init(params)
-    hr0 = np.random.default_rng(0).random(
-        (batch, crop, crop, 3), dtype=np.float32)
+    rng = np.random.default_rng(0)
 
+    def stack(r):
+        # fresh batches each round: this backend can serve repeated
+        # identical dispatches from a result cache (CLAUDE.md rules)
+        return jnp.asarray(rng.random(
+            (ITERS, batch, crop, crop, 3), dtype=np.float32))
+
+    hrs = jax.block_until_ready(stack(0))
     t0 = time.perf_counter()
-    params, st, loss, mse = step_fn(params, st, jnp.asarray(hr0))
-    jax.block_until_ready(params)
+    params, st, loss, mse = step_fn(params, st, hrs)
+    jax.block_until_ready(loss)
     comp = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        hr = jnp.asarray(hr0 * (1 + 1e-5 * i))  # varied: avoid result cache
-        params, st, loss, mse = step_fn(params, st, hr)
-    jax.block_until_ready(params)
-    dt = (time.perf_counter() - t0) / ITERS
+    best = float("inf")
+    for r in range(ROUNDS):
+        hrs = jax.block_until_ready(stack(r + 1))
+        t0 = time.perf_counter()
+        params, st, loss, mse = step_fn(params, st, hrs)
+        jax.block_until_ready(loss)
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    dt = best
     sps = batch / dt
     # fwd + input-grad + weight-grad ~= 3x forward FLOPs
     flops = 3 * 2 * MAC_PER_LR_PX * batch * (crop // cfg.factor) ** 2

@@ -106,3 +106,28 @@ def test_train_loop_resume_missing_checkpoint_raises(tmp_path):
     with pytest.raises(RuntimeError, match="no native checkpoint"):
         train_loop(cfg, iter([]), resume_from=str(tmp_path / "nope"),
                    log=lambda s: None)
+
+
+def test_train_loop_resume_empty_dir_starts_fresh(tmp_path):
+    """Idempotent-restart contract: a wrapper that always passes
+    `--resume CKPT_DIR` must START FRESH (with a note) on its first
+    launch, when the dir exists but holds no checkpoints yet — not die
+    in orbax."""
+    from rusty_sr_tpu.train.loop import train_loop
+    cfg = TrainConfig(crop=12, checkpoint_every=2)
+    ck_dir = tmp_path / "ck"
+    ck_dir.mkdir()
+    rng = np.random.default_rng(5)
+    batches = [rng.random((cfg.batch_size, cfg.crop, cfg.crop, 3)
+                          ).astype(np.float32) for _ in range(2)]
+    logs = []
+    params = train_loop(cfg, iter(batches), max_steps=2,
+                        resume_from=str(ck_dir),
+                        native_ckpt_dir=str(ck_dir), log=logs.append)
+    assert params is not None
+    assert any("starting fresh" in s for s in logs)
+    # and the SECOND launch of the same command line resumes for real
+    logs2 = []
+    train_loop(cfg, iter(batches), max_steps=2, resume_from=str(ck_dir),
+               log=logs2.append)
+    assert any("Resumed from" in s for s in logs2)

@@ -39,9 +39,14 @@ def test_two_process_cli_train(tmp_path):
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
 
     def cmd(pid: int):
+        # --ckpt_dir and --val_folder exercise the multi-host cadence:
+        # orbax saves are collective (all processes), validation runs on
+        # host-local param copies on the main process only.
         return [sys.executable, "-m", "rusty_sr_tpu.cli", "train",
                 str(out), str(ti), "--platform", "cpu",
                 "--max_steps", "2", "--batch", "4",
+                "--ckpt_dir", str(tmp_path / "ck"),
+                "-v", str(ti), "-m", "1",
                 "--coordinator", f"127.0.0.1:{port}",
                 "--num_processes", "2", "--process_id", str(pid)]
 
@@ -63,6 +68,15 @@ def test_two_process_cli_train(tmp_path):
     assert "Beginning Training" in p0.stdout and "Done" in p0.stdout
     assert "Beginning Training" not in out1
     assert out.stat().st_size == 1_043_676  # step-1 .rsr checkpoint
+    # validation ran on the main host at the step-1 cadence
+    assert "Validation PSNR:" in p0.stdout
+    assert "Validation PSNR:" not in out1
+    # the collective orbax save produced a restorable checkpoint
+    from rusty_sr_tpu.train import checkpoint as ck
+    path = ck.latest_native(str(tmp_path / "ck"))
+    assert path is not None
+    _, opt_state, step = ck.restore_native(path)
+    assert step >= 1 and opt_state is not None
 
 
 def test_partial_distributed_flags_error(capsys):

@@ -34,8 +34,39 @@ def test_respawns_on_backend_init_failure(monkeypatch):
 
     plat.ensure_device_or_respawn(sleep_s=0.0)
     assert calls["exe"] == sys.executable
-    assert calls["argv"] == [sys.executable] + sys.argv
+    assert calls["argv"] == plat._respawn_argv()
     assert calls["env"][plat._RETRY_ENV] == "1"
+
+
+def test_respawn_argv_preserves_module_launch():
+    # Under `python -m pytest`, __main__ carries a module spec; the
+    # respawn must re-run via -m (a plain script exec of the module's
+    # file path breaks absolute imports).  Under a script launch the
+    # spec is None and argv passes through verbatim.
+    argv = plat._respawn_argv()
+    spec = getattr(sys.modules.get("__main__"), "__spec__", None)
+    if spec is not None and spec.name:
+        assert argv[:2] == [sys.executable, "-m"]
+        assert not argv[2].endswith(".__main__")
+        assert argv[3:] == sys.argv[1:]
+    else:
+        assert argv == [sys.executable] + sys.argv
+
+
+def test_reraises_non_transient_error_immediately(monkeypatch):
+    import jax
+
+    def boom():
+        raise RuntimeError("something else entirely (bad config)")
+
+    calls = []
+    monkeypatch.setattr(jax, "devices", boom)
+    monkeypatch.setattr(os, "execve",
+                        lambda *a: calls.append(a))
+    monkeypatch.delenv(plat._RETRY_ENV, raising=False)
+    with pytest.raises(RuntimeError, match="something else"):
+        plat.ensure_device_or_respawn(sleep_s=0.0)
+    assert not calls  # no respawn burned on a permanent error
 
 
 def test_gives_up_after_max_retries(monkeypatch):

@@ -99,3 +99,35 @@ def test_int8_tiled_engine_matches_whole(anime):
                       tile=50, chunk=3, engine="int8")
     assert got_u8.dtype == np.uint8
     assert psnr(got_u8 / 255.0, np.clip(want, 0, 1)) > 50.0
+
+
+def test_calibration_sample_smaller_than_microbatch(anime):
+    """A single-tile sample (N=1, microbatch=4) must pad by MODULAR
+    tiling to the one executable shape — x[:pad] is short when pad > N —
+    and produce the same ranges as the unpadded math."""
+    m = merge_params(anime)
+    lr = load_image("/root/reference/docs/cartoon_lr.png")[None, :64, :64]
+    r1 = calibrate_act_scales(m, lr, microbatch=4)
+    r4 = calibrate_act_scales(m, jnp.concatenate([lr] * 4), microbatch=4)
+    for k in r1:
+        np.testing.assert_allclose(np.asarray(r1[k][0]),
+                                   np.asarray(r4[k][0]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(r1[k][1]),
+                                   np.asarray(r4[k][1]), rtol=1e-6)
+
+
+def test_int8_cache_reused_across_batches(anime):
+    """The caller-owned int8 cache (resident watch server) freezes
+    calibration after the first batch: outputs for the same input no
+    longer depend on later co-batched images, and the quantised trunk is
+    not rebuilt per poll."""
+    from rusty_sr_tpu.parallel.tiling import tiled_sr_batch
+    img = to_u8(load_image("/root/reference/docs/cartoon_lr.png"))[:80, :80]
+    other = np.zeros_like(img)  # would shift self-calibrated ranges
+    cache: dict = {}
+    a = tiled_sr_batch(anime, [img], tile=60, engine="int8",
+                       int8_cache=cache)[0]
+    assert "q" in cache
+    b = tiled_sr_batch(anime, [img, other], tile=60, engine="int8",
+                       int8_cache=cache)[0]
+    np.testing.assert_array_equal(a, b)
