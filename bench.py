@@ -68,7 +68,11 @@ def main():
     def chained(zz):
         return jax.lax.fori_loop(0, iters, lambda i, c: one_pass(c), zz)
 
-    jax.block_until_ready(chained(z))  # compile + warm-up
+    # compile + warm-up, ending in a value fetch: probe53 measured that
+    # block_until_ready can return early on a never-fetched executable
+    # (scan-shaped cases lied by 100x); a fetch is the trustworthy sync
+    # and costs nothing here (probe53 packed B==C).
+    int(chained(z)[0, 0, 0, 0])
 
     useful_hr_mpix = batch * (tile * factor) ** 2 / 1e6
     best = 0.0
@@ -78,7 +82,7 @@ def main():
         zr = jnp.asarray((np.asarray(z) + r + 1).astype(np.uint8))
         jax.block_until_ready(zr)
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(zr))
+        int(chained(zr)[0, 0, 0, 0])  # value fetch = sync (probe53)
         dt = time.perf_counter() - t0
         best = max(best, iters * useful_hr_mpix / dt)
 

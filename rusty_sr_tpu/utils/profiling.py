@@ -13,6 +13,7 @@ import contextlib
 import time
 from typing import Callable
 
+import numpy as np
 import jax
 from jax import lax
 
@@ -56,11 +57,18 @@ def device_timer(fn: Callable, x, *, iters: int = 20, rounds: int = 3,
     def chained(b):
         return lax.fori_loop(0, iters, lambda i, c: fold(fn(c), b), b)
 
-    jax.block_until_ready(chained(x))  # compile + warm-up
+    def sync(y):
+        # A VALUE fetch, not block_until_ready: the latter can return
+        # early on a never-fetched executable (scripts/perf_probe53 —
+        # scan-shaped chains lied by 100x; the 1-element fetch is free).
+        leaf = jax.tree.leaves(y)[0]
+        np.asarray(leaf.ravel()[0])
+
+    sync(chained(x))  # compile + warm-up + first fetch
     best = float("inf")
     for r in range(rounds):
         xr = jax.block_until_ready(_perturb(x, r + 1))
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(xr))
+        sync(chained(xr))
         best = min(best, (time.perf_counter() - t0) / iters)
     return best

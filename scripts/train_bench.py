@@ -56,7 +56,12 @@ def bench(batch: int, remat: bool, crop: int = 192,
     hrs = jax.block_until_ready(stack(0))
     t0 = time.perf_counter()
     params, st, loss, mse = step_fn(params, st, hrs)
-    jax.block_until_ready(loss)
+    # probe53: on this backend block_until_ready on a lax.scan
+    # executable's outputs can return WITHOUT waiting until the
+    # executable has had one value fetched ("0.04 ms/step", MFU 700% —
+    # fiction).  The armor: fetch a value from the warmup result, and
+    # end every timed region with a scalar fetch (measured zero-cost).
+    float(loss)
     comp = time.perf_counter() - t0
 
     best = float("inf")
@@ -64,7 +69,7 @@ def bench(batch: int, remat: bool, crop: int = 192,
         hrs = jax.block_until_ready(stack(r + 1))
         t0 = time.perf_counter()
         params, st, loss, mse = step_fn(params, st, hrs)
-        jax.block_until_ready(loss)
+        float(loss)  # value fetch = the only trustworthy sync (probe53)
         best = min(best, (time.perf_counter() - t0) / ITERS)
     dt = best
     sps = batch / dt
