@@ -299,6 +299,27 @@ def run_upscale(args) -> int:
     return 0
 
 
+class _StableNamer:
+    """Output name per source path, stable for the namer's lifetime.
+
+    Batch-local de-dup (`_output_names`) is not enough for the resident
+    watcher: 'a.png' and 'a.jpg' can arrive in DIFFERENT poll batches
+    and would silently overwrite each other's 'a.png' output.  The first
+    source to claim a stem keeps it; later colliding sources keep their
+    full original name ('a.jpg.png')."""
+
+    def __init__(self):
+        self._owner: dict = {}   # output name -> source path
+
+    def __call__(self, f: str) -> str:
+        stem = os.path.splitext(os.path.basename(f))[0] + ".png"
+        if self._owner.setdefault(stem, f) == f:
+            return stem
+        full = os.path.basename(f) + ".png"
+        self._owner[full] = f
+        return full
+
+
 def _output_names(paths) -> list:
     """Output file names (stem.png) for a batch of input paths,
     disambiguated when two inputs share a stem: 'a.png' and 'a.jpg'
@@ -445,20 +466,8 @@ def run_watch(args) -> int:
 
     done: dict = {}      # path -> mtime processed (or last failed attempt)
     fails: dict = {}     # path -> attempt count
-    name_owner: dict = {}  # output name -> source path (watcher lifetime)
+    pick_name = _StableNamer()  # output names stable for the watcher's life
     int8_cache: dict = {}  # int8 trunk calibrated once, on the first batch
-
-    def pick_name(f: str) -> str:
-        # Stable output name per SOURCE path for the watcher's lifetime:
-        # batch-local de-dup (_output_names) is not enough here because
-        # 'a.png' and 'a.jpg' can arrive in DIFFERENT poll batches and
-        # would silently overwrite each other's 'a.png' output.
-        stem = os.path.splitext(os.path.basename(f))[0] + ".png"
-        if name_owner.setdefault(stem, f) == f:
-            return stem
-        full = os.path.basename(f) + ".png"
-        name_owner[full] = f
-        return full
     print(f"Watching {args.INPUT_DIR} (poll {args.poll}s; Ctrl-C to stop)",
           flush=True)
     try:

@@ -287,3 +287,16 @@ def test_folder_mode_int8_engine(tmp_path):
     assert got.shape == (60, 72, 3)
     rc = cli.main(["--engine", "fused", "-p", "anime", str(ti), str(out)])
     assert rc == 2  # fused is single-image/f32 only - clean error
+
+
+def test_stable_namer_cross_batch_collisions():
+    """Watch mode: 'a.png' and 'a.jpg' arriving in DIFFERENT poll
+    batches must not overwrite each other's output; names are stable
+    per source for the namer's lifetime (re-processing keeps a name)."""
+    from rusty_sr_tpu.cli import _StableNamer
+    pick = _StableNamer()
+    assert pick("/in/a.png") == "a.png"       # poll 1
+    assert pick("/in/a.jpg") == "a.jpg.png"   # poll 2: collision dodged
+    assert pick("/in/a.png") == "a.png"       # re-process: stable
+    assert pick("/in/a.jpg") == "a.jpg.png"
+    assert pick("/in/b.jpg") == "b.png"       # no collision: stem wins
