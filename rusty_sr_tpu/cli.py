@@ -573,6 +573,10 @@ def run_train(args) -> int:
                       precision=getattr(args, "precision", "highest"),
                       trunk=getattr(args, "trunk", "merged"))
     if args.batch is not None:
+        if args.batch < 1:
+            print(f"error: --batch must be >= 1 (got {args.batch})",
+                  file=sys.stderr)
+            return 2
         cfg.batch_size = args.batch
 
     import jax

@@ -39,7 +39,9 @@ def make_mesh(n_data: Optional[int] = None, n_spatial: int = 1,
     if n_data is None:
         n_data = len(devices) // (n_spatial * n_model)
     need = n_data * n_spatial * n_model
-    assert need <= len(devices), \
+    # n_data >= 1 keeps the inferred case from building a zero-sized
+    # mesh (need=0 would pass the <= check vacuously)
+    assert n_data >= 1 and need <= len(devices), \
         f"need {n_data}x{n_spatial}x{n_model} devices, have {len(devices)}"
     arr = np.asarray(devices[:need]).reshape(n_data, n_spatial, n_model)
     return Mesh(arr, ("data", "spatial", "model"))
@@ -145,6 +147,10 @@ def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
     out_dtype = np.uint8 if u8_io else np.float32
     out = np.zeros((hgt * factor, wid * factor, 3), out_dtype)
     tf = tile * factor
+    # Dispatch every chunk before the first fetch (same pipeline as
+    # tiled_sr/tiled_sr_batch): a synchronous per-chunk np.asarray would
+    # serialise device compute against the D2H round trips.
+    pending = []
     for start in range(0, n_tiles, chunk):
         stop = min(start + chunk, n_tiles)
         cnt = stop - start
@@ -163,6 +169,11 @@ def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
                                jax.device_put(eb, sh),
                                jax.device_put(mb, sh),
                                factor, tile, compute_dtype, u8_io, out16)
+        pending.append((start, cnt, res))
+    for _, _, res in pending:
+        if hasattr(res, "copy_to_host_async"):
+            res.copy_to_host_async()
+    for start, cnt, res in pending:
         if u8_io:
             _scatter_u8(np.asarray(res[:cnt]), start, nx, tf, out)
         else:

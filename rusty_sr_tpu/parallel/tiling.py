@@ -720,8 +720,31 @@ def tiled_simple(image: np.ndarray, factor: int = 3, *, mode: str,
     return out
 
 
+def _int8_trunk(mparams, zt, n_tiles: int, chunk: int, u8_io: bool,
+                cache: Optional[dict] = None):
+    """Calibrated int8 trunk from tiles sampled evenly across the
+    image/batch (one exact f32 pass — models/quant).  First-chunk-only
+    sampling under-covers large images (measured ~-9 dB when calibration
+    misses the range, tests/test_quant.py).  ``cache``: caller-owned dict
+    for resident processes — calibration runs once and is frozen."""
+    if cache is not None and "q" in cache:
+        return cache["q"]
+    from rusty_sr_tpu.models.quant import calibrate_act_scales, quantize_trunk
+    idx = np.unique(np.linspace(0, n_tiles - 1,
+                                min(chunk, n_tiles)).astype(int))
+    sample = zt[idx]
+    if u8_io:
+        sample = sample.astype(np.float32) / 255.0
+    q = quantize_trunk(mparams, calibrate_act_scales(mparams, sample))
+    if cache is not None:
+        cache["q"] = q
+    return q
+
+
 def _gather_u8(img: np.ndarray, tile: int, h: int, ny: int, nx: int):
-    """uint8 tile gather (zero-pad, edge-pad, mask), numpy host path."""
+    """uint8 tile gather (zero-pad, edge-pad, mask), numpy host path.
+    Layout contract (zero/edge/mask ordering, ny*nx row-major slicing)
+    mirrors utils/native.gather_tiles' f32 path — keep them in sync."""
     hgt, wid, _ = img.shape
     pad = ((h, h + ny * tile - hgt), (h, h + nx * tile - wid), (0, 0))
     zero_img = np.pad(img, pad)
@@ -812,24 +835,11 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
             for m in metas]
 
     if engine == "int8":
-        # ``int8_cache``: caller-owned dict for resident processes (the
-        # watch server): calibration + weight quantisation run once, on
-        # the first batch, and are frozen for the caller's lifetime —
-        # repeat work is skipped AND an input's output no longer depends
-        # on which other images happened to share its poll batch.
-        if int8_cache is not None and "q" in int8_cache:
-            q = int8_cache["q"]
-        else:
-            from rusty_sr_tpu.models.quant import (calibrate_act_scales,
-                                                   quantize_trunk)
-            idx = np.unique(np.linspace(0, n_tiles - 1,
-                                        min(chunk, n_tiles)).astype(int))
-            sample = zt[idx]
-            if u8_io:
-                sample = sample.astype(np.float32) / 255.0
-            q = quantize_trunk(params, calibrate_act_scales(params, sample))
-            if int8_cache is not None:
-                int8_cache["q"] = q
+        # ``int8_cache``: calibration + weight quantisation run once, on
+        # the first batch, and are frozen for the caller's lifetime (the
+        # watch server) — repeat work is skipped AND an input's output no
+        # longer depends on which other images shared its poll batch.
+        q = _int8_trunk(params, zt, n_tiles, chunk, u8_io, int8_cache)
         run = lambda z, e, m: _tile_kernel_q8(  # noqa: E731
             q, z, e, m, factor, tile, u8_io)
     elif use_packed:
@@ -934,6 +944,7 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
     (Pallas trunk; pass ``packed`` from pack_trunk_weights to avoid
     repacking, and ``rh`` as the kernel row-block).
     """
+    assert engine in ("xla", "int8", "fused"), engine
     if out16 is None:   # bf16-stage-output default for the fast tier
         out16 = compute_dtype is not None
     u8_io = (np.asarray(image).dtype == np.uint8)
@@ -962,18 +973,7 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
         zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
 
     if engine == "int8":
-        from rusty_sr_tpu.models.quant import calibrate_act_scales, quantize_trunk
-        m = trunk_params(params)
-        # Self-calibration: per-channel activation ranges from <= chunk
-        # tiles sampled evenly ACROSS the image (one exact f32 pass).
-        # First-chunk-only sampling under-covers large images (measured
-        # ~-9 dB when calibration misses the range, tests/test_quant.py).
-        idx = np.unique(np.linspace(0, ny * nx - 1,
-                                    min(chunk, ny * nx)).astype(int))
-        sample = zt[idx]
-        if u8_io:
-            sample = sample.astype(np.float32) / 255.0
-        q = quantize_trunk(m, calibrate_act_scales(m, sample))
+        q = _int8_trunk(trunk_params(params), zt, ny * nx, chunk, u8_io)
         run = lambda z, e, mk: _tile_kernel_q8(  # noqa: E731
             q, z, e, mk, factor, tile, u8_io)
     elif engine == "fused":

@@ -127,6 +127,8 @@ class PrefetchBuffer:
 
     def __init__(self, supplier: ImageFolderSupplier, depth: int = 128,
                  batch_size: int = 1):
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.supplier = supplier
         self.batch_size = batch_size
         self.q: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=max(1, depth // max(1, batch_size)))
@@ -157,10 +159,12 @@ class PrefetchBuffer:
                     batch = []
                     if not self._put(arr):
                         return
-        except RuntimeError as e:  # e.g. all files unreadable
-            self._error = e
-        # end-of-stream sentinel (sequential suppliers / supplier error);
+        except Exception as e:   # any worker crash (unreadable folder,
+            self._error = e      # unstackable shapes, decoder bombs, ...)
+        # End-of-stream sentinel (sequential suppliers / supplier error);
         # same stop-aware put so shutdown can never wedge on a full queue.
+        # A final PARTIAL batch is dropped by design: the training step
+        # is one fixed-shape executable (a short batch would recompile).
         self._put(None)
 
     def next_batch(self) -> Optional[np.ndarray]:

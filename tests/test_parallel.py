@@ -97,3 +97,11 @@ def test_sharded_tiled_u8_matches_single_device(tree):
     got_f = tiled_sr_sharded(tree, img, mesh, 3, tile=16,
                              compute_dtype=jnp.bfloat16)
     np.testing.assert_array_equal(got_f, want_f)
+
+
+def test_make_mesh_rejects_oversubscription():
+    """Inferred n_data flooring to 0 must trip the device-count
+    assertion, not silently build a zero-sized mesh."""
+    import pytest
+    with pytest.raises(AssertionError, match="devices"):
+        make_mesh(n_spatial=4, n_model=4)   # 16 > the 8 virtual devices

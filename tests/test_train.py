@@ -161,6 +161,42 @@ class TestData:
         finally:
             buf.close()
 
+    def test_buffer_propagates_any_worker_crash(self, tmp_path):
+        """A worker crash that is NOT a RuntimeError (e.g. np.stack over
+        variable shapes with crop=None) must re-raise on the consumer —
+        not read as a clean end-of-stream that silently truncates
+        training."""
+        import pytest
+        import numpy as np
+        from rusty_sr_tpu.utils.imageio import save_image
+        from rusty_sr_tpu.train.data import ImageFolderSupplier, PrefetchBuffer
+        rng = np.random.default_rng(0)
+        save_image(str(tmp_path / "a.png"),
+                   rng.random((8, 8, 3)).astype(np.float32))
+        save_image(str(tmp_path / "b.png"),
+                   rng.random((12, 12, 3)).astype(np.float32))
+        sup = ImageFolderSupplier(str(tmp_path), crop=None, shuffle=False)
+        buf = PrefetchBuffer(sup, depth=4, batch_size=2)
+        try:
+            with pytest.raises(ValueError):
+                # np.stack of (8,8,3) and (12,12,3) raises in the worker
+                buf.next_batch()
+        finally:
+            buf.close()
+
+    def test_buffer_rejects_zero_batch(self, tmp_path):
+        """batch_size=0 would make the worker accumulate forever while
+        the consumer spins — reject it at construction."""
+        import pytest
+        from rusty_sr_tpu.train.data import ImageFolderSupplier, PrefetchBuffer
+        import numpy as np
+        from rusty_sr_tpu.utils.imageio import save_image
+        save_image(str(tmp_path / "a.png"),
+                   np.zeros((8, 8, 3), np.float32))
+        sup = ImageFolderSupplier(str(tmp_path), crop=(8, 8))
+        with pytest.raises(ValueError, match="batch_size"):
+            PrefetchBuffer(sup, batch_size=0)
+
     def test_multihost_striping(self, tmp_path):
         """Training suppliers stripe files across hosts (SURVEY.md §2.4
         multi-host input sharding); validation suppliers keep every file
