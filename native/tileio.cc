@@ -12,7 +12,8 @@
 //   image:  (H, W, 3) f32 row-major
 //   tiles:  (ny*nx, side, side, 3) with side = tile + 2*halo
 //   mask:   (ny*nx, side, side, 1)
-//   out:    (ny*tile*f, nx*tile*f, 3) from per-tile (tile*f, tile*f, 3)
+//   canvas: (crop_h, crop_w, 3) — row stride crop_w; ragged right/bottom
+//           tile parts beyond the crop are clipped on scatter
 
 #include <algorithm>
 #include <cstdint>
@@ -77,9 +78,10 @@ void sr_gather_tiles(const float* img, int64_t H, int64_t W, int64_t tile,
 }
 
 // Scatter a chunk of HR tile results into the output canvas.
-// results: (count, tile_f, tile_f, 3); canvas: (out_h, out_w, 3) where
-// out_h = ny*tile_f rows are assumed allocated; rows/cols beyond
-// (crop_h, crop_w) are skipped (ragged right/bottom edge tiles).
+// results: (count, tile_f, tile_f, 3); canvas: (crop_h, crop_w, 3) —
+// the row stride IS crop_w (every caller allocates the crop-sized
+// canvas); tile rows/cols beyond (crop_h, crop_w) are skipped (ragged
+// right/bottom edge tiles).
 void sr_scatter_tiles(const float* results, int64_t count, int64_t start,
                       int64_t nx, int64_t tile_f, float* canvas,
                       int64_t crop_h, int64_t crop_w) {
@@ -106,14 +108,15 @@ int64_t rsr_decode(const uint8_t* data, int64_t len, float* out,
   std::memcpy(&n, data, 4);
   if (len != 4 + 8 * static_cast<int64_t>(n)) return -1;
   if (static_cast<int64_t>(n) > out_cap) return -1;
-  const uint8_t* sizes = data + 4;
-  for (uint32_t i = 0; i < n; ++i) {
+  const int64_t n64 = static_cast<int64_t>(n);  // 4*n in uint32 would
+  const uint8_t* sizes = data + 4;              // wrap for n >= 2^30
+  for (int64_t i = 0; i < n64; ++i) {
     uint32_t s;
     std::memcpy(&s, sizes + 4 * i, 4);
     if (s != 4) return -1;
   }
-  std::memcpy(out, data + 4 + 4 * static_cast<int64_t>(n), 4 * n);
-  return static_cast<int64_t>(n);
+  std::memcpy(out, data + 4 + 4 * n64, 4 * n64);
+  return n64;
 }
 
 // Writes 4 + 8n bytes into `out` (caller-allocated).

@@ -28,8 +28,13 @@ _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
 
 def bf16_split(v):
-    """f32 -> (hi, lo) bf16 pair with v == hi + lo (hi exact, lo rounds
-    the 16-bit residual; combined representation error ~2^-25 relative).
+    """f32 -> (hi, lo) bf16 pair with v ~= hi + lo (hi exact in bf16, lo
+    rounds the 16-bit residual).  Error model: hi keeps the top 7
+    mantissa bits, so |lo| <= ~2^-8|v|, and rounding lo to bf16 leaves a
+    combined representation error of ~2^-16 relative — f32-mantissa
+    class it is NOT, but far below the single-rounding ~2^-8 and below
+    f32 noise once hi*w dominates the dot (the fast-tier budget this
+    split serves; quality_eval measures +0.016 dB).
 
     The split is built by BIT-MASKING the low mantissa bits, NOT by
     `v - v.astype(bf16).astype(f32)`: XLA's allow-excess-precision
@@ -77,19 +82,31 @@ def conv2d_same(
     w: jnp.ndarray,
     *,
     accum_dtype=jnp.float32,
-    precision=lax.Precision.HIGHEST,
+    precision=None,
 ) -> jnp.ndarray:
-    """x: (N,H,W,Cin); w: (kh,kw,Cin,Cout) HWIO. Stride 1, zero-pad Same."""
+    """x: (N,H,W,Cin); w: (kh,kw,Cin,Cout) HWIO. Stride 1, zero-pad Same.
+
+    ``precision=None`` resolves by operand dtype: HIGHEST for f32/f64
+    (the exact parity path) and DEFAULT for sub-f32 operands — bf16
+    inputs are the explicit throughput opt-in and mean ONE rounding;
+    HIGHEST on bf16 operands would force multi-pass emulation over
+    already-rounded values (probe48: 11.7 vs 12.6 ms/step at batch 32).
+    """
     accum = jnp.promote_types(accum_dtype, x.dtype)
+    sub_f32 = jnp.finfo(jnp.promote_types(x.dtype, w.dtype)).bits < 32
+    if precision is None:
+        precision = (lax.Precision.DEFAULT if sub_f32
+                     else lax.Precision.HIGHEST)
     # Note: for bf16 operands the native MXU conv emitter was measured
     # SLOWER than the im2col dot at these shapes (357 vs 436 MPix/s at
     # 16x256^2) — it pays activation layout copies, while the patch dot is
     # HBM-bound at ~570 GB/s.  The im2col branch below therefore serves
     # both the exact-f32 path and the bf16 throughput path.
-    if precision == lax.Precision.HIGHEST:
-        # Exact-f32 path.  Native conv at HIGHEST hits pathologically slow
-        # compilation on both XLA:CPU and the axon TPU backend (measured
-        # >8 min for a 120x84 image); the dot formulation compiles in
-        # seconds and is bit-identical to f64 truth within f32 rounding.
+    if precision == lax.Precision.HIGHEST or sub_f32:
+        # Exact-f32 path (and all sub-f32 operands).  Native conv at
+        # HIGHEST hits pathologically slow compilation on both XLA:CPU
+        # and the axon TPU backend (measured >8 min for a 120x84 image);
+        # the dot formulation compiles in seconds and is bit-identical
+        # to f64 truth within f32 rounding.
         return _conv_im2col(x, w, accum, precision)
     return _conv_native(x, w, accum, precision)

@@ -14,7 +14,6 @@ weighted gathers that XLA fuses — no dynamic work, no recompiles.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -24,33 +23,16 @@ def _upsample_axis(x: jnp.ndarray, f: int, axis: int) -> jnp.ndarray:
 
     Output index f*y+fy samples y + alpha, alpha = (fy+0.5)/f - 0.5 in
     (-0.5, 0.5], i.e. a 2-tap filter over rows {y+d, y+d+1}, d in {-1,0} —
-    static shifts per phase.  Edge-padding by one row reproduces the clamp
-    (out-of-range taps take the edge sample, SURVEY.md §8.5).  Phases are
-    stacked and reshape-interleaved; everything is slices/FMAs that XLA
-    fuses — no gathers (TPU gathers serialise on the VPU).
+    static shifts per phase (the shared `_phase_taps` convention, the ONE
+    place the phase/clamp rule lives).  Phases are stacked and
+    reshape-interleaved; everything is slices/FMAs that XLA fuses — no
+    gathers (TPU gathers serialise on the VPU).
     """
-    n = x.shape[axis]
-
-    def slc(start):  # static length-n slice of the edge-padded axis
-        idx = [slice(None)] * x.ndim
-        idx[axis] = slice(start, start + n)
-        return xe[tuple(idx)]
-
-    xe = jnp.concatenate(
-        [jax.lax.slice_in_dim(x, 0, 1, axis=axis), x,
-         jax.lax.slice_in_dim(x, n - 1, n, axis=axis)], axis=axis)
-
-    phases = []
-    for fy in range(f):
-        alpha = (fy + 0.5) / f - 0.5
-        d = int(np.floor(alpha))
-        w = np.float32(alpha - d)
-        lo, hi = slc(1 + d), slc(2 + d)
-        phases.append(lo * (1.0 - w) + hi * w if w != 0.0 else lo)
-
+    phases = [lo * (1.0 - w) + hi * w if w != 0.0 else lo
+              for lo, hi, w in _phase_taps(x, f, axis)]
     y = jnp.stack(phases, axis=axis + 1)      # (..., n, f, ...)
     new_shape = list(x.shape)
-    new_shape[axis] = n * f
+    new_shape[axis] = x.shape[axis] * f
     return y.reshape(new_shape)
 
 

@@ -83,7 +83,18 @@ def num_params(factor: int, width: int = 32, channels: int = 3) -> int:
 
 
 def decode_rsr(data: bytes) -> np.ndarray:
-    """Decode a bytevec-framed `.rsr` blob into a flat f32 vector."""
+    """Decode a bytevec-framed `.rsr` blob into a flat f32 vector.
+
+    Uses the native C++ codec (`native/tileio.cc`, cross-validated in
+    tests/test_native.py) when the library is available; the pure-numpy
+    path below is the fallback and the executable spec."""
+    from rusty_sr_tpu.utils import native
+    try:
+        flat = native.rsr_decode(data)
+    except ValueError:
+        flat = None   # malformed: numpy path below gives the specific error
+    if flat is not None:
+        return flat
     if len(data) < 4:
         raise ValueError("rsr blob too short for header")
     (n,) = struct.unpack_from("<I", data, 0)
@@ -97,7 +108,12 @@ def decode_rsr(data: bytes) -> np.ndarray:
 
 
 def encode_rsr(flat: np.ndarray) -> bytes:
-    """Encode a flat f32 vector in the reference's bytevec framing."""
+    """Encode a flat f32 vector in the reference's bytevec framing
+    (native codec when available; numpy fallback)."""
+    from rusty_sr_tpu.utils import native
+    out = native.rsr_encode(flat)
+    if out is not None:
+        return out
     flat = np.ascontiguousarray(flat, dtype="<f4")
     n = flat.size
     header = struct.pack("<I", n)

@@ -36,7 +36,12 @@ def _build_and_load():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_LIB_PATH):
+            # Always run make: it no-ops when the .so is fresh, rebuilds
+            # after a tileio.cc edit, and (because the binary is built
+            # with -march=native and NOT checked in) guarantees the
+            # loaded library matches this host's ISA — a stale foreign
+            # binary would SIGILL at call time, past this except.
+            if os.path.isdir(_NATIVE_DIR):
                 subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                                capture_output=True)
             lib = ctypes.CDLL(_LIB_PATH)
