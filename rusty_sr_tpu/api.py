@@ -57,9 +57,14 @@ def upscale(image: np.ndarray, weights: Union[str, dict] = "imagenet",
             image = image.astype(np.float32) / 255.0
         else:
             image = np.asarray(image, np.float32)
-            if image.size and (image.min() < -0.001 or image.max() > 1.001):
+            # NaN compares False on both sides of a range check, so the
+            # finiteness test must be explicit or NaN pixels sail through
+            # the guard that exists to reject garbage.
+            if image.size and not (np.isfinite(image).all()
+                                   and image.min() >= -0.001
+                                   and image.max() <= 1.001):
                 raise ValueError(
-                    "float input must be sRGB in [0, 1] (got range "
+                    "float input must be finite sRGB in [0, 1] (got range "
                     f"[{image.min():.3g}, {image.max():.3g}]); pass uint8 "
                     "pixels directly or divide by 255")
     return tiled_sr(tree, image, factor, tile=tile,

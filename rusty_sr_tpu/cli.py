@@ -148,6 +148,13 @@ def build_train_parser() -> argparse.ArgumentParser:
     t.add_argument("--batch", type=int, default=None,
                    help="batch size (reference default 4); must divide "
                         "evenly over the mesh 'data' axis")
+    t.add_argument("--ckpt_every", type=int, default=None, metavar="N",
+                   help="checkpoint cadence in steps (default 100, the "
+                        "reference's; step 1 always checkpoints)")
+    t.add_argument("--val_every", type=int, default=None, metavar="N",
+                   help="validation cadence in steps (default 100, the "
+                        "reference's single combined cadence; independent "
+                        "of --ckpt_every)")
     t.add_argument("--coordinator", metavar="HOST:PORT", default=None,
                    help="multi-host training: coordinator address for "
                         "jax.distributed (run the same command on every "
@@ -572,6 +579,14 @@ def run_train(args) -> int:
                       loss_kind=args.loss, amp=getattr(args, "amp", False),
                       precision=getattr(args, "precision", "highest"),
                       trunk=getattr(args, "trunk", "merged"))
+    for flag, arg_v, attr in (("--ckpt_every", args.ckpt_every, "checkpoint_every"),
+                              ("--val_every", args.val_every, "val_every")):
+        if arg_v is not None:
+            if arg_v < 1:
+                print(f"error: {flag} must be >= 1 (got {arg_v})",
+                      file=sys.stderr)
+                return 2
+            setattr(cfg, attr, arg_v)
     if args.batch is not None:
         if args.batch < 1:
             print(f"error: --batch must be >= 1 (got {args.batch})",

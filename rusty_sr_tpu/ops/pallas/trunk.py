@@ -58,6 +58,13 @@ def pack_trunk_weights(params, factor: int = 3, dtype=jnp.bfloat16):
     (conv1/2/3 -> A etc.; cf. models.sr_net.merge_params).  Bias/BeLU
     vectors are packed 2-D (1, N).
     """
+    e = 3 * factor * factor
+    got = int(jnp.asarray(params["conv10"]).shape[-1])
+    if got != e:
+        raise ValueError(
+            f"params expand to {got} channels but factor {factor} "
+            f"needs {e} (3*factor^2) — wrong weights for this factor")
+
     def flat(w):
         w = jnp.asarray(w)
         return w.reshape(-1, w.shape[-1]).astype(dtype)

@@ -978,16 +978,19 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
             q, z, e, mk, factor, tile, u8_io)
     elif engine == "fused":
         assert not u8_io, "u8 I/O is implemented for the xla engine"
+        # compute_dtype=None means the EXACT tier on every engine: the
+        # fused Pallas trunk runs f32 unless the caller opted into bf16
+        # (api.upscale fast=True / CLI --fast), same contract as "xla".
+        dt = compute_dtype or jnp.float32
         if packed is None:
             from rusty_sr_tpu.ops.pallas.trunk import pack_trunk_weights
-            dt = compute_dtype or jnp.bfloat16
             packed = pack_trunk_weights(
                 params, factor,
                 dtype=jnp.float32 if dt == jnp.float32 else jnp.bfloat16)
         if tile % rh != 0:  # kernel row-block must divide the tile
             rh = next(d for d in range(rh, 0, -1) if tile % d == 0)
         run = lambda z, e, m: _tile_kernel_fused(  # noqa: E731
-            packed, z, e, m, factor, tile, rh, compute_dtype or jnp.bfloat16)
+            packed, z, e, m, factor, tile, rh, dt)
     elif use_packed:
         # Fast tier, u8, even padded side: the space-to-depth packed
         # trunk (quarter res, 4x channels) — 797 vs 609 MPix/s on v5e

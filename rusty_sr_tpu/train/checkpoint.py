@@ -44,9 +44,15 @@ def save_native(ckpt_dir: str, step: int, params, opt_state: Any = None) -> None
 
 
 def latest_native(ckpt_dir: str) -> Optional[str]:
+    import re
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    # step_\d+$ ONLY: a crash mid-save leaves an orbax tmp dir named
+    # step_NNN.orbax-checkpoint-tmp-<ts> that a startswith filter would
+    # sort LAST and resume from — the exact crash-recovery case these
+    # checkpoints exist for must fall back to the last complete one.
+    steps = sorted(d for d in os.listdir(ckpt_dir)
+                   if re.fullmatch(r"step_\d+", d))
     return os.path.join(os.path.abspath(ckpt_dir), steps[-1]) if steps else None
 
 

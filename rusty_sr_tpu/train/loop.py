@@ -104,18 +104,12 @@ def loss_fn(params, hr, cfg: TrainConfig):
     lr = make_lr_from_hr(hr, cfg.factor)
     cd = jnp.bfloat16 if cfg.amp else None
 
+    # Under amp no override is needed: sr_apply* casts both operands to
+    # bf16 and conv2d_same resolves sub-f32 operands to single-pass
+    # DEFAULT-precision MXU dots with f32 accumulation (probe48: 11.7 vs
+    # 12.6 ms/step at batch 32 vs forced-HIGHEST emulation).
     conv_fn = None
-    if cfg.amp:
-        # Explicit bf16 opt-in must run single-pass MXU dots: the default
-        # conv2d_same precision (HIGHEST) would force multi-pass
-        # emulation on the bf16 operands — probe48: 11.7 vs 12.6 ms/step
-        # at batch 32, and semantically amp means one rounding, not six
-        # passes over already-rounded values.
-        from rusty_sr_tpu.ops.conv import _conv_im2col
-
-        def conv_fn(x, w):
-            return _conv_im2col(x, w, jnp.float32, None)
-    elif cfg.precision == "high":
+    if not cfg.amp and cfg.precision == "high":
         # 3-pass bf16x3 dots: ~f32-mantissa class, +15% (probe48).
         from rusty_sr_tpu.ops.conv import _conv_im2col
         from jax import lax as _lax
@@ -463,7 +457,13 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
 
     def cadence(step, loss, mse):
         nonlocal last_native_ckpt
-        if not (step % cfg.checkpoint_every == 0 or step == 1):
+        # Checkpointing and validation run on independent cadences
+        # (both default 100 = the reference's single cadence,
+        # src/main.rs:211,233); step 1 fires both, as the reference does.
+        do_ckpt = step % cfg.checkpoint_every == 0 or step == 1
+        do_val = bool(val_images) and (step % cfg.val_every == 0
+                                       or step == 1)
+        if not (do_ckpt or do_val):
             return
         # Multi-host: params/opt state live on the GLOBAL mesh and are
         # not fully addressable from one process.  Materialise host-local
@@ -472,21 +472,21 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
         # orbax save, validation — only ever touch local data.
         if multihost:
             host_params = _host_tree(params)
-            host_opt = _host_tree(opt_state)
+            host_opt = _host_tree(opt_state) if do_ckpt else None
         else:
             host_params, host_opt = params, opt_state
-        if param_file is not None:
+        if do_ckpt and param_file is not None:
             host = jax.tree.map(np.asarray, host_params)
             params_lib.save_rsr_file(param_file, host, cfg.factor)
-        if native_ckpt_dir is not None:
+        if do_ckpt and native_ckpt_dir is not None:
             from rusty_sr_tpu.train import checkpoint as _ck
             _ck.save_native(native_ckpt_dir, step, host_params, host_opt)
             last_native_ckpt = step
         psnr = None
-        if val_images:
+        if do_val:
             psnr = validation_psnr(host_params, val_images, cfg)
             log(f"Validation PSNR:\t{psnr}")
-        else:
+        elif do_ckpt:
             log(f"step {step}\tloss {float(loss):.6g}\t"
                 f"mse {float(mse):.6g}")
         if mf is not None:
@@ -499,11 +499,14 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
 
     # Device-resident multi-step groups: per-step host dispatch costs
     # ~30% of a step at this model's size (probe47).  Groups start at
-    # step % spd == 0 and spd divides the checkpoint cadence, so every
-    # cadence boundary (step 1, multiples of checkpoint_every) still
+    # step % spd == 0 and spd divides every cadence (checkpoint AND
+    # validation), so each boundary (step 1, multiples of either) still
     # lands exactly at the end of a dispatch.
-    spd = max(1, min(cfg.steps_per_dispatch, cfg.checkpoint_every))
-    while cfg.checkpoint_every % spd:
+    cad = cfg.checkpoint_every
+    if val_images:
+        cad = math.gcd(cad, cfg.val_every)
+    spd = max(1, min(cfg.steps_per_dispatch, cad))
+    while cad % spd:
         spd -= 1
     multi_fn = None
     it = iter(train_batches)
@@ -536,10 +539,16 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
     finally:
         if mf is not None:
             mf.close()
+    # Multihost/TP: params live on the global mesh and are not fully
+    # addressable from one process — np.asarray on them raises.  Gather
+    # host-local copies (a collective, so run it on every process) before
+    # the final checkpoint and return, exactly like cadence() does.
+    host_params = _host_tree(params) if multihost else params
     if native_ckpt_dir is not None and step > last_native_ckpt:
         # Final-state checkpoint: a finished (or step-capped) run can be
         # resumed/extended from exactly where it stopped, not from the
         # last 100-step boundary.
         from rusty_sr_tpu.train import checkpoint as _ck
-        _ck.save_native(native_ckpt_dir, step, params, opt_state)
-    return jax.tree.map(np.asarray, params)
+        host_opt = _host_tree(opt_state) if multihost else opt_state
+        _ck.save_native(native_ckpt_dir, step, host_params, host_opt)
+    return jax.tree.map(np.asarray, host_params)

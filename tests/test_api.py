@@ -52,6 +52,14 @@ def test_upscale_rejects_out_of_range_floats():
         rusty_sr_tpu.upscale(bad, weights="anime", tile=16)
 
 
+def test_upscale_rejects_nan_floats():
+    # NaN compares False against both range bounds, so the guard needs an
+    # explicit finiteness check to actually reject garbage input.
+    bad = np.full((8, 8, 3), np.nan, np.float32)
+    with pytest.raises(ValueError, match="finite"):
+        rusty_sr_tpu.upscale(bad, weights="anime", tile=16)
+
+
 def test_downscale_and_bilinear():
     img = RNG.random((10, 13, 3), dtype=np.float32)
     down = rusty_sr_tpu.downscale(img)       # crops to 9x12 then pools

@@ -27,6 +27,18 @@ def test_native_checkpoint_roundtrip(tmp_path):
     assert got_opt is not None
 
 
+def test_latest_native_skips_orbax_tmp_dirs(tmp_path):
+    """A crash mid-save leaves `step_N.orbax-checkpoint-tmp-<ts>` beside
+    the complete checkpoints; it sorts lexicographically LAST, so a
+    startswith filter would resume from the partial dir — the exact
+    crash-recovery case these checkpoints exist for."""
+    params = jax.tree.map(jnp.asarray, P.init_params(0, 3))
+    ck.save_native(str(tmp_path), 100, params, None)
+    (tmp_path / "step_00000200.orbax-checkpoint-tmp-1735").mkdir()
+    path = ck.latest_native(str(tmp_path))
+    assert path and path.endswith("step_00000100")
+
+
 def test_rsr_and_native_agree(tmp_path):
     params = P.init_params(1, 3)
     ck.save_rsr(str(tmp_path / "p.rsr"), params, 3)

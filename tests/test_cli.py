@@ -36,6 +36,16 @@ def test_train_parser():
     assert a.PARAMETER_FILE == "out.rsr" and a.TRAINING_FOLDER == "imgs"
     assert a.linear_loss and a.recurse and a.start == "w.rsr"
     assert a.val_folder == "val" and a.val_max == 8 and a.loss == "l1"
+    assert a.ckpt_every is None and a.val_every is None  # default: cfg 100s
+    a = t.parse_args(["o.rsr", "imgs", "--ckpt_every", "50",
+                      "--val_every", "25"])
+    assert a.ckpt_every == 50 and a.val_every == 25
+
+
+def test_train_bad_cadence_flags(capsys):
+    rc = cli.main(["train", "o.rsr", "ti", "--val_every", "0"])
+    assert rc == 2
+    assert "--val_every must be >= 1" in capsys.readouterr().err
 
 
 def test_main_dispatch_conflicting_flags(capsys):

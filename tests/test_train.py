@@ -390,3 +390,26 @@ def test_packed_trunk_training(tmp_path):
         if first is None:
             first = float(loss)
     assert float(loss) < first * 0.9
+
+
+def test_val_every_cadence_independent_of_checkpoints(tmp_path):
+    """val_every and checkpoint_every are independent cadences: with
+    val_every=2 / checkpoint_every=4 over 4 steps, validation fires at
+    steps 1, 2, 4 and checkpoints land at 1 and 4 only — and the
+    multi-step dispatch grouping still aligns to BOTH boundaries."""
+    from rusty_sr_tpu.train import checkpoint as ck
+    cfg = TrainConfig(crop=12, checkpoint_every=4, val_every=2)
+    rng = np.random.default_rng(11)
+    batches = [rng.random((cfg.batch_size, cfg.crop, cfg.crop, 3)
+                          ).astype(np.float32) for _ in range(4)]
+    val = [rng.random((12, 12, 3)).astype(np.float32)]
+    logs = []
+    train_loop(cfg, iter(batches), max_steps=4, val_images=val,
+               native_ckpt_dir=str(tmp_path / "ck"), log=logs.append)
+    assert sum("Validation PSNR" in s for s in logs) == 3
+    last = ck.latest_native(str(tmp_path / "ck"))
+    assert last and last.endswith("step_00000004")
+    import os
+    steps = sorted(d for d in os.listdir(tmp_path / "ck")
+                   if d.startswith("step_"))
+    assert steps == ["step_00000001", "step_00000004"]
