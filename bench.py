@@ -46,8 +46,6 @@ def main():
     rng = np.random.default_rng(0)
     z = jnp.asarray((rng.random((batch, side, side, 3)) * 255)
                     .astype(np.uint8))
-    e = z
-    m = jnp.asarray(np.ones((batch, side, side, 1), np.uint8))
 
     # Throughput mode: bf16 trunk (explicit opt-in; parity mode is f32 and
     # is what the golden tests gate on).
@@ -56,17 +54,27 @@ def main():
     # between iterations (each iteration consumes the previous output), so
     # the device must execute every pass sequentially — host-side dispatch
     # loops measure only tunnel/dispatch latency on this backend.
+    #
+    # Honesty constraints (the kernel must pay per-iteration exactly what
+    # tiled_sr pays per call, where zero/edge/mask tiles are THREE
+    # distinct runtime buffers): all three inputs are derived from the
+    # loop CARRY, so nothing can be hoisted out of the loop as
+    # loop-invariant, the edge pack cannot be CSE'd into the zero-tile
+    # pack (e != z bytewise), and the mask multiplies cannot be
+    # constant-folded (the all-ones mask is computed from carry data the
+    # compiler cannot see through).
     iters = 20
-
-    def one_pass(zz):
-        out = _tile_kernel_packed(params, zz, e, m, factor, tile,
-                                  jnp.bfloat16)
-        # fold the HR u8 output back into the u8 input for the dependency
-        return jnp.bitwise_xor(out[:, :side, :side, :], zz)
 
     @jax.jit
     def chained(zz):
-        return jax.lax.fori_loop(0, iters, lambda i, c: one_pass(c), zz)
+        def body(i, c):
+            e = jnp.bitwise_xor(c, jnp.uint8(1))
+            mm = jnp.bitwise_or(c[:, :, :, :1] >> 7, jnp.uint8(1))
+            out = _tile_kernel_packed(params, c, e, mm, factor, tile,
+                                      jnp.bfloat16)
+            # fold HR u8 output back into the u8 input for the dependency
+            return jnp.bitwise_xor(out[:, :side, :side, :], c)
+        return jax.lax.fori_loop(0, iters, body, zz)
 
     # compile + warm-up, ending in a value fetch: probe53 measured that
     # block_until_ready can return early on a never-fetched executable

@@ -158,7 +158,8 @@ def sr_apply_packed(mparams, x: jnp.ndarray, factor: int = 3, *,
                     compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """TRAINING variant of the inference packed-s2d trunk: the whole net
     at quarter resolution / 4x channels (parallel.tiling packing, which
-    took inference 609 -> 1504 MPix/s), expressed in differentiable ops
+    lifted inference ~2.5x to the 1356 MPix/s headline — PERF.md),
+    expressed in differentiable ops
     (im2col dots at DEFAULT precision — `conv_general_dilated` cannot
     differentiate mixed bf16/f32 operand gradients) so
     `jax.value_and_grad` flows back through the traced weight packing to

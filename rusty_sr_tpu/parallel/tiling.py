@@ -887,8 +887,10 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
 
 
 # Measured ms/chunk of the PACKED fast-tier kernel (merged-base form) at
-# tile=242 on v5e (perf_probe40-42); throughput climbs to a hard HBM
-# cliff just past B=112.  Used to pick the chunk that minimises
+# tile=242 on v5e under the HONEST protocol (perf_probe54: every kernel
+# input derived from the timing-loop carry, so the per-call edge+mask
+# packs that earlier sweeps hoisted are paid); throughput climbs to a
+# hard scheduler cliff just past B=112.  Used to pick the chunk that minimises
 # ceil(n/c)*t(c) — padding the final chunk is the price of
 # one-executable dispatch, so the best c depends on the image's tile
 # count.  The ladder applies ONLY to the packed fast-tier kernel: the
@@ -896,9 +898,9 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
 # larger HBM footprint (the flat kernel's convA im2col patches are ~2 MB
 # per tile per K-element class — chunk 112 would overrun v5e's 16 GB),
 # so those paths keep the conservative `_DEFAULT_CHUNK`.
-_CHUNK_T_MS = {1: 3.8, 2: 4.3, 4: 5.2, 8: 6.1, 16: 8.9, 24: 11.8,
-               32: 14.6, 40: 17.1, 48: 19.5, 56: 21.9, 64: 24.2,
-               80: 29.0, 96: 33.5, 112: 38.3}
+_CHUNK_T_MS = {1: 2.5, 2: 4.1, 4: 5.8, 8: 6.7, 16: 10.3, 24: 13.7,
+               32: 16.8, 40: 19.5, 48: 22.1, 56: 24.6, 64: 27.5,
+               80: 32.8, 96: 38.0, 112: 43.5}
 _LADDER_TILE = 242      # anchor tile the ladder was measured at
 _CLIFF_B = 112          # HBM cliff just past this batch at the anchor
 _DEFAULT_CHUNK = 24     # non-packed tiers (measured safe, ~5 GB peak)
