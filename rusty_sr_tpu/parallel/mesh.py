@@ -123,14 +123,16 @@ def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
     h = HALO
     ny = max(1, -(-hgt // tile))
     nx = max(1, -(-wid // tile))
-    if u8_io:
-        zt, et, mt = _gather_u8(img, tile, h, ny, nx)
-    else:
-        zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
-
     side = tile + 2 * h
     n_tiles = ny * nx
     use_packed = (compute_dtype is not None and u8_io and side % 2 == 0)
+    if u8_io:
+        # packed kernel derives zero-pad tiles on device (edge*mask,
+        # bit-identical — probe55): skip their gather and upload.
+        zt, et, mt = _gather_u8(img, tile, h, ny, nx,
+                                need_zero=not use_packed)
+    else:
+        zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
     # per-device chunk (single-chip ladder for the packed tier),
     # replicated over the data axis
     if chunk is None:
@@ -154,15 +156,18 @@ def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
     for start in range(0, n_tiles, chunk):
         stop = min(start + chunk, n_tiles)
         cnt = stop - start
-        zb, eb, mb = zt[start:stop], et[start:stop], mt[start:stop]
+        zb = None if zt is None else zt[start:stop]
+        eb, mb = et[start:stop], mt[start:stop]
         if cnt < chunk:
             fill = chunk - cnt
-            zb = np.concatenate([zb, np.zeros((fill, side, side, 3), zt.dtype)])
+            if zb is not None:
+                zb = np.concatenate(
+                    [zb, np.zeros((fill, side, side, 3), et.dtype)])
             eb = np.concatenate([eb, np.zeros((fill, side, side, 3), et.dtype)])
             mb = np.concatenate([mb, np.zeros((fill, side, side, 1), mt.dtype)])
         if use_packed:
             res = _tile_kernel_packed(
-                pp, jax.device_put(zb, sh), jax.device_put(eb, sh),
+                pp, None, jax.device_put(eb, sh),
                 jax.device_put(mb, sh), factor, tile, compute_dtype)
         else:
             res = _tile_kernel(params, jax.device_put(zb, sh),

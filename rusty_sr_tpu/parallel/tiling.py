@@ -225,14 +225,20 @@ def _tile_kernel_packed(pp, zero_tiles, edge_tiles, mask_tiles, factor: int,
     — the only full-resolution ops left are u8 unpack/crop/d2s.
     Numerically the same products as `_tile_kernel`'s fast path
     (bf16-class identical; gated by the same GT-budget harness).
-    Requires u8 tiles with an even padded side."""
+    Requires u8 tiles with an even padded side.
+
+    ``zero_tiles=None`` derives the zero-padded tiles in packed space:
+    zero-pad == edge-pad * mask bytewise (the two gathers differ only
+    outside the image, where the mask is 0, and u8 codes times a {0,1}
+    mask are exact in bf16) — skips the third input buffer's pack, its
+    host gather, and its H2D upload (probe55)."""
     from rusty_sr_tpu.ops.activations import belu
     from rusty_sr_tpu.ops.conv import _conv_native
     from rusty_sr_tpu.ops.pixel_shuffle import depth_to_space
 
     h = HALO
     cd = compute_dtype
-    nb, sh, sw, ci = zero_tiles.shape
+    nb, sh, sw, ci = edge_tiles.shape
     ph, pw = sh // 2, sw // 2
     n = pp["f_bias"].shape[0] // 4
     e = pp["expand_bias"].shape[0] // 4
@@ -242,11 +248,14 @@ def _tile_kernel_packed(pp, zero_tiles, edge_tiles, mask_tiles, factor: int,
         return t.reshape(nb, ph, 2, pw, 2, c) \
             .transpose(0, 1, 3, 2, 4, 5).reshape(nb, ph, pw, 4 * c)
 
-    t8 = pack(zero_tiles).astype(cd) * jnp.asarray(2.0 ** -8, cd)
     te8 = pack(edge_tiles).astype(cd) * jnp.asarray(2.0 ** -8, cd)
+    m4 = pack(mask_tiles).astype(cd)
+    if zero_tiles is None:
+        t8 = te8 * jnp.repeat(m4, ci, axis=-1)
+    else:
+        t8 = pack(zero_tiles).astype(cd) * jnp.asarray(2.0 ** -8, cd)
     o = _conv_native(jnp.concatenate([t8, t8], -1), pp["W0"],
                      jnp.float32, None)
-    m4 = pack(mask_tiles).astype(cd)
     mN = jnp.repeat(m4, n, axis=-1)
     f_ = belu(o + pp["f_bias"], pp["f_belu"]).astype(cd) * mN
 
@@ -689,7 +698,7 @@ def tiled_simple(image: np.ndarray, factor: int = 3, *, mode: str,
     if chunk is None:
         chunk = _DEFAULT_CHUNK
     if u8_io:
-        _, et, _ = _gather_u8(img, tile, h, ny, nx)
+        _, et, _ = _gather_u8(img, tile, h, ny, nx, need_zero=False)
     else:
         _, et, _ = native.gather_tiles(img, tile, h, ny, nx)
     side = tile + 2 * h
@@ -741,25 +750,30 @@ def _int8_trunk(mparams, zt, n_tiles: int, chunk: int, u8_io: bool,
     return q
 
 
-def _gather_u8(img: np.ndarray, tile: int, h: int, ny: int, nx: int):
+def _gather_u8(img: np.ndarray, tile: int, h: int, ny: int, nx: int,
+               need_zero: bool = True):
     """uint8 tile gather (zero-pad, edge-pad, mask), numpy host path.
     Layout contract (zero/edge/mask ordering, ny*nx row-major slicing)
-    mirrors utils/native.gather_tiles' f32 path — keep them in sync."""
+    mirrors utils/native.gather_tiles' f32 path — keep them in sync.
+    ``need_zero=False`` returns ``zt=None`` (the packed kernel derives
+    zero-pad tiles on device as edge*mask, probe55) — skips one third of
+    the host gather AND of the H2D upload."""
     hgt, wid, _ = img.shape
     pad = ((h, h + ny * tile - hgt), (h, h + nx * tile - wid), (0, 0))
-    zero_img = np.pad(img, pad)
+    zero_img = np.pad(img, pad) if need_zero else None
     edge_img = np.pad(img, pad, mode="edge")
     mask_img = np.pad(np.ones((hgt, wid, 1), np.uint8), pad)
     side = tile + 2 * h
     n = ny * nx
-    zt = np.empty((n, side, side, 3), np.uint8)
+    zt = np.empty((n, side, side, 3), np.uint8) if need_zero else None
     et = np.empty((n, side, side, 3), np.uint8)
     mt = np.empty((n, side, side, 1), np.uint8)
     k = 0
     for iy in range(ny):
         for ix in range(nx):
             y0, x0 = iy * tile, ix * tile
-            zt[k] = zero_img[y0:y0 + side, x0:x0 + side]
+            if need_zero:
+                zt[k] = zero_img[y0:y0 + side, x0:x0 + side]
             et[k] = edge_img[y0:y0 + side, x0:x0 + side]
             mt[k] = mask_img[y0:y0 + side, x0:x0 + side]
             k += 1
@@ -809,22 +823,24 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     side = tile + 2 * h
     tf = tile * factor
 
+    use_packed = (engine == "xla" and compute_dtype is not None and u8_io
+                  and (tile + 2 * h) % 2 == 0)
     zts, ets, mts, metas = [], [], [], []   # metas: (ny, nx, H, W)
     for img in imgs:
         hgt, wid, _ = img.shape
         ny = max(1, -(-hgt // tile))
         nx = max(1, -(-wid // tile))
         if u8_io:
-            zt, et, mt = _gather_u8(img, tile, h, ny, nx)
+            zt, et, mt = _gather_u8(img, tile, h, ny, nx,
+                                    need_zero=not use_packed)
         else:
             zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
         zts.append(zt); ets.append(et); mts.append(mt)
         metas.append((ny, nx, hgt, wid))
-    zt = np.concatenate(zts); et = np.concatenate(ets); mt = np.concatenate(mts)
+    zt = None if use_packed else np.concatenate(zts)
+    et = np.concatenate(ets); mt = np.concatenate(mts)
     starts = np.cumsum([0] + [m[0] * m[1] for m in metas])  # image offsets
     n_tiles = int(starts[-1])
-    use_packed = (engine == "xla" and compute_dtype is not None and u8_io
-                  and (tile + 2 * h) % 2 == 0)
     if chunk is None:
         # The measured ladder is for the packed kernel only (see
         # _CHUNK_T_MS); other tiers keep the conservative default.
@@ -854,14 +870,18 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     for g0 in range(0, n_tiles, chunk):
         g1 = min(g0 + chunk, n_tiles)
         cnt = g1 - g0
-        zb, eb, mb = zt[g0:g1], et[g0:g1], mt[g0:g1]
+        zb = None if zt is None else zt[g0:g1]
+        eb, mb = et[g0:g1], mt[g0:g1]
         if cnt < chunk:  # pad the (single) final partial chunk
             fill = chunk - cnt
-            zb = np.concatenate([zb, np.zeros((fill, side, side, 3), zt.dtype)])
+            if zb is not None:
+                zb = np.concatenate(
+                    [zb, np.zeros((fill, side, side, 3), et.dtype)])
             eb = np.concatenate([eb, np.zeros((fill, side, side, 3), et.dtype)])
             mb = np.concatenate([mb, np.zeros((fill, side, side, 1), mt.dtype)])
         pending.append(
-            (g0, cnt, run(device_put(zb), device_put(eb), device_put(mb))))
+            (g0, cnt, run(None if zb is None else device_put(zb),
+                          device_put(eb), device_put(mb))))
 
     for _, _, res in pending:  # start all D2H copies before the first fetch
         if hasattr(res, "copy_to_host_async"):
@@ -969,8 +989,11 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
 
     if u8_io:
         # uint8 end-to-end: 4x less host<->device transfer; conversion to
-        # f32/255 and the final quantisation happen on device.
-        zt, et, mt = _gather_u8(img, tile, h, ny, nx)
+        # f32/255 and the final quantisation happen on device.  The
+        # packed kernel derives zero-pad tiles on device (edge*mask,
+        # bit-identical — probe55): skip their gather and upload.
+        zt, et, mt = _gather_u8(img, tile, h, ny, nx,
+                                need_zero=not use_packed)
     else:
         zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
 
@@ -1012,19 +1035,23 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
     # Dispatch all chunks first (jax dispatch is async), then fetch+scatter:
     # overlaps device compute/transfer across chunks instead of paying a
     # full round-trip per chunk.
-    tdt = zt.dtype
+    tdt = et.dtype
     pending = []
     for start in range(0, n_tiles, chunk):
         stop = min(start + chunk, n_tiles)
         cnt = stop - start
-        zb, eb, mb = zt[start:stop], et[start:stop], mt[start:stop]
+        zb = None if zt is None else zt[start:stop]
+        eb, mb = et[start:stop], mt[start:stop]
         if cnt < chunk:  # pad last chunk: one executable total
             fill = chunk - cnt
-            zb = np.concatenate([zb, np.zeros((fill, side, side, 3), tdt)])
+            if zb is not None:
+                zb = np.concatenate(
+                    [zb, np.zeros((fill, side, side, 3), tdt)])
             eb = np.concatenate([eb, np.zeros((fill, side, side, 3), tdt)])
             mb = np.concatenate([mb, np.zeros((fill, side, side, 1), mt.dtype)])
         pending.append(
-            (start, cnt, run(device_put(zb), device_put(eb), device_put(mb))))
+            (start, cnt, run(None if zb is None else device_put(zb),
+                             device_put(eb), device_put(mb))))
     for _, _, res in pending:  # start all D2H copies before the first fetch
         if hasattr(res, "copy_to_host_async"):
             res.copy_to_host_async()

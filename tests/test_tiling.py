@@ -263,3 +263,22 @@ def test_tiled_simple_downsample_matches_whole(cartoon):
         0, 1))
     d = np.abs(got.astype(np.int32) - whole.astype(np.int32))
     assert d.max() <= 1 and (d > 0).mean() < 1e-3
+
+
+def test_two_input_packed_kernel_bit_identical(anime_params, cartoon):
+    """zero_tiles=None derives the zero-padded packed tiles as
+    edge_tiles * mask in packed space (the two gathers differ only
+    outside the image, where the mask is 0; u8 codes times a {0,1} mask
+    are exact in bf16) — the 2-input form must be BIT-identical to the
+    3-input form, including mask-heavy border tiles."""
+    from rusty_sr_tpu.parallel.tiling import (
+        _gather_u8, _tile_kernel_packed, packed_trunk_params, trunk_params)
+    pp = packed_trunk_params(trunk_params(anime_params), jnp.bfloat16, 3)
+    img = (np.asarray(cartoon) * 255).round().astype(np.uint8)
+    zt, et, mt = _gather_u8(img, 50, HALO, 3, 2)
+    za, ea, ma = jnp.asarray(zt), jnp.asarray(et), jnp.asarray(mt)
+    three = np.asarray(_tile_kernel_packed(pp, za, ea, ma, 3, 50,
+                                           jnp.bfloat16))
+    two = np.asarray(_tile_kernel_packed(pp, None, ea, ma, 3, 50,
+                                         jnp.bfloat16))
+    np.testing.assert_array_equal(three, two)
