@@ -56,13 +56,12 @@ def main():
     # loops measure only tunnel/dispatch latency on this backend.
     #
     # Honesty constraints (the kernel must pay per-iteration exactly what
-    # tiled_sr pays per call, where zero/edge/mask tiles are THREE
-    # distinct runtime buffers): all three inputs are derived from the
-    # loop CARRY, so nothing can be hoisted out of the loop as
-    # loop-invariant, the edge pack cannot be CSE'd into the zero-tile
-    # pack (e != z bytewise), and the mask multiplies cannot be
-    # constant-folded (the all-ones mask is computed from carry data the
-    # compiler cannot see through).
+    # tiled_sr pays per call — since round 3 the production dispatch is
+    # the 2-INPUT form, zero_tiles=None derived on device as edge*mask,
+    # probe55): both inputs are derived from the loop CARRY, so nothing
+    # can be hoisted out of the loop as loop-invariant and the mask
+    # multiplies cannot be constant-folded (the all-ones mask is computed
+    # from carry data the compiler cannot see through).
     iters = 20
 
     @jax.jit
@@ -70,7 +69,7 @@ def main():
         def body(i, c):
             e = jnp.bitwise_xor(c, jnp.uint8(1))
             mm = jnp.bitwise_or(c[:, :, :, :1] >> 7, jnp.uint8(1))
-            out = _tile_kernel_packed(params, c, e, mm, factor, tile,
+            out = _tile_kernel_packed(params, None, e, mm, factor, tile,
                                       jnp.bfloat16)
             # fold HR u8 output back into the u8 input for the dependency
             return jnp.bitwise_xor(out[:, :side, :side, :], c)

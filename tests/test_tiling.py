@@ -68,6 +68,25 @@ def test_batch_matches_single_image(anime_params, cartoon):
         np.testing.assert_array_equal(got, want)
 
 
+def test_batch_packed_tier_matches_single_image(anime_params, cartoon):
+    """tiled_sr_batch on the PACKED fast tier (u8 + compute_dtype + even
+    padded side — the path that derives zero tiles on device) must match
+    per-image tiled_sr exactly, including ragged-edge images whose border
+    tiles exercise the edge*mask derivation."""
+    from rusty_sr_tpu.parallel.tiling import tiled_sr_batch
+    rng = np.random.default_rng(3)
+    imgs = [(np.asarray(cartoon) * 255).round().astype(np.uint8),
+            (rng.random((37, 61, 3)) * 255).astype(np.uint8),
+            (rng.random((17, 23, 3)) * 255).astype(np.uint8)]
+    outs = tiled_sr_batch(anime_params, imgs, 3, tile=30, chunk=5,
+                          compute_dtype=jnp.bfloat16)
+    for img, got in zip(imgs, outs):
+        want = tiled_sr(anime_params, img, 3, tile=30, chunk=5,
+                        compute_dtype=jnp.bfloat16)
+        assert got.dtype == np.uint8
+        np.testing.assert_array_equal(got, want)
+
+
 def test_halo_is_receptive_field_radius():
     """Impulse test: trunk receptive field must not exceed HALO LR px."""
     params = jax.tree.map(jnp.asarray, load_builtin("anime"))
