@@ -322,21 +322,25 @@ class _StableNamer:
         stem = os.path.splitext(os.path.basename(f))[0] + ".png"
         if self._owner.setdefault(stem, f) == f:
             return stem
-        full = os.path.basename(f) + ".png"
-        self._owner[full] = f
-        return full
+        # The fallback must be claim-checked too: with sources 'a.png',
+        # 'a.jpg.png' and 'a.jpg' in play, the last one's fallback
+        # 'a.jpg.png' is already owned — keep suffixing until free.
+        cand = os.path.basename(f) + ".png"
+        k = 1
+        while self._owner.setdefault(cand, f) != f:
+            k += 1
+            cand = f"{os.path.basename(f)}.{k}.png"
+        return cand
 
 
 def _output_names(paths) -> list:
-    """Output file names (stem.png) for a batch of input paths,
-    disambiguated when two inputs share a stem: 'a.png' and 'a.jpg'
-    would otherwise both map to 'a.png' and silently overwrite each
-    other, so colliding inputs keep their full original name
-    ('a.png.png', 'a.jpg.png')."""
-    stems = [os.path.splitext(os.path.basename(f))[0] for f in paths]
-    dup = {s for s in stems if stems.count(s) > 1}
-    return [(os.path.basename(f) if s in dup else s) + ".png"
-            for f, s in zip(paths, stems)]
+    """Output file names (stem.png) for a batch of input paths — the
+    same first-claim-wins collision policy as the resident watcher
+    (one _StableNamer implementation, two entry points): 'a.png' and
+    'a.jpg' would otherwise both map to 'a.png' and silently overwrite
+    each other."""
+    namer = _StableNamer()
+    return [namer(f) for f in paths]
 
 
 def _run_upscale_folder(args) -> int:
@@ -662,6 +666,11 @@ def run_train(args) -> int:
         train_loop(cfg, batches(), start_params=start,
                    param_file=args.PARAMETER_FILE if is_main else None,
                    val_images=val_images,
+                   # uniform across processes even though only the main
+                   # host loads val_images: the validation cadence shapes
+                   # the dispatch-group size and gates a collective param
+                   # gather, so every process must agree on it
+                   validate=bool(args.val_folder),
                    max_steps=args.max_steps,
                    metrics_file=args.metrics if is_main else None,
                    # orbax saves are collective under multi-host (every

@@ -697,10 +697,10 @@ def tiled_simple(image: np.ndarray, factor: int = 3, *, mode: str,
     nx = max(1, -(-wid // tile))
     if chunk is None:
         chunk = _DEFAULT_CHUNK
-    if u8_io:
-        _, et, _ = _gather_u8(img, tile, h, ny, nx, need_zero=False)
-    else:
-        _, et, _ = native.gather_tiles(img, tile, h, ny, nx)
+    # The simple kernels need neither zero-pad tiles nor masks — gather
+    # edge-padded tiles only (any dtype), instead of paying for three
+    # buffers per call on a large-image path.
+    et = _gather_edge(img, tile, h, ny, nx)
     side = tile + 2 * h
     n_tiles = ny * nx
     tf = tile * factor if mode == "bilinear" else tile // factor
@@ -748,6 +748,23 @@ def _int8_trunk(mparams, zt, n_tiles: int, chunk: int, u8_io: bool,
     if cache is not None:
         cache["q"] = q
     return q
+
+
+def _gather_edge(img: np.ndarray, tile: int, h: int, ny: int, nx: int):
+    """Edge-padded tile gather only, any dtype (the bilinear/downsample
+    simple kernels use neither zero-pad tiles nor masks)."""
+    hgt, wid, ch = img.shape
+    pad = ((h, h + ny * tile - hgt), (h, h + nx * tile - wid), (0, 0))
+    edge_img = np.pad(img, pad, mode="edge")
+    side = tile + 2 * h
+    et = np.empty((ny * nx, side, side, ch), img.dtype)
+    k = 0
+    for iy in range(ny):
+        for ix in range(nx):
+            y0, x0 = iy * tile, ix * tile
+            et[k] = edge_img[y0:y0 + side, x0:x0 + side]
+            k += 1
+    return et
 
 
 def _gather_u8(img: np.ndarray, tile: int, h: int, ny: int, nx: int,

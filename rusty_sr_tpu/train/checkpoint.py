@@ -56,6 +56,20 @@ def latest_native(ckpt_dir: str) -> Optional[str]:
     return os.path.join(os.path.abspath(ckpt_dir), steps[-1]) if steps else None
 
 
+def checkpoint_keys(path: str) -> set:
+    """Top-level keys stored in a native checkpoint, from metadata only
+    (no array data is read).  Lets resume decide whether optimizer state
+    exists in the checkpoint instead of guessing from restore errors —
+    a tree MISMATCH must surface as an error, not silently fall back to
+    fresh Adam moments."""
+    if not _HAVE_ORBAX:
+        raise RuntimeError("orbax not available")
+    meta = ocp.StandardCheckpointer().metadata(path)
+    tree = getattr(meta, "item_metadata", meta)
+    tree = getattr(tree, "tree", tree)
+    return set(tree.keys())
+
+
 def restore_native(path: str, like: Any = None) -> Tuple[Any, Any, int]:
     """-> (params, opt_state or None, step)."""
     if not _HAVE_ORBAX:

@@ -346,6 +346,7 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
                metrics_file: Optional[str] = None,
                native_ckpt_dir: Optional[str] = None,
                resume_from: Optional[str] = None,
+               validate: Optional[bool] = None,
                seed: int = 0):
     """Run the reference's training protocol; returns final params.
 
@@ -359,10 +360,17 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
     its Adam moments and the 10 M-sample budget / checkpoint cadence
     intact.  The reference can only restart from bare params
     (`--start`, src/main.rs:190-195); this is the §5 restartability row.
+    ``validate``: whether the validation cadence is ACTIVE — must be the
+    same on every process of a multi-host run, because it shapes the
+    dispatch-group size and gates a collective param gather, while
+    ``val_images`` (the data) lives on the main host only.  Defaults to
+    ``bool(val_images)``, which is only correct single-host.
     """
     import json
     import time as _time
 
+    if validate is None:
+        validate = bool(val_images)
     params = start_params if start_params is not None else \
         params_lib.init_params(seed, cfg.factor)
     params = jax.tree.map(jnp.asarray, params)
@@ -394,20 +402,29 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
             like = {"params": jax.tree.map(np.asarray, params),
                     "opt_state": jax.tree.map(np.asarray, opt_state),
                     "step": 0}
+            # Decide params-only from the checkpoint's METADATA, not by
+            # retrying on restore errors: a tree mismatch (wrong factor,
+            # different optimizer) must surface as a clean error below,
+            # never silently resume with fresh Adam moments.
             try:
-                try:
-                    r_params, r_opt, start_step = \
-                        _ck.restore_native(path, like)
-                except (ValueError, KeyError):
-                    # params-only checkpoint (saved w/o optimizer state)
-                    like.pop("opt_state")
-                    r_params, r_opt, start_step = \
-                        _ck.restore_native(path, like)
-            except FileNotFoundError as e:
-                # surface as the CLI's clean error contract, not an
-                # orbax traceback
+                has_opt = "opt_state" in _ck.checkpoint_keys(path)
+            except Exception as e:
                 raise RuntimeError(
                     f"unreadable checkpoint at {path!r}: {e}") from e
+            if not has_opt:
+                like.pop("opt_state")
+                log(f"Checkpoint {path} has no optimizer state — "
+                    "resuming with fresh Adam moments")
+            try:
+                r_params, r_opt, start_step = \
+                    _ck.restore_native(path, like)
+            except (FileNotFoundError, ValueError, KeyError) as e:
+                # surface as the CLI's clean error contract, not an
+                # orbax traceback (e.g. factor-2 weights into a factor-3
+                # run, or a different optimizer's state tree)
+                raise RuntimeError(
+                    f"incompatible or unreadable checkpoint at "
+                    f"{path!r}: {e}") from e
             params = jax.tree.map(jnp.asarray, r_params)
             if r_opt is not None:
                 opt_state = jax.tree.map(jnp.asarray, r_opt)
@@ -461,8 +478,11 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
         # (both default 100 = the reference's single cadence,
         # src/main.rs:211,233); step 1 fires both, as the reference does.
         do_ckpt = step % cfg.checkpoint_every == 0 or step == 1
-        do_val = bool(val_images) and (step % cfg.val_every == 0
-                                       or step == 1)
+        # ``validate`` (not val_images) gates the cadence: it is uniform
+        # across processes, so under multi-host every process reaches the
+        # collective gather below at the same step even though only the
+        # main host holds val_images and scores PSNR.
+        do_val = validate and (step % cfg.val_every == 0 or step == 1)
         if not (do_ckpt or do_val):
             return
         # Multi-host: params/opt state live on the GLOBAL mesh and are
@@ -483,7 +503,7 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
             _ck.save_native(native_ckpt_dir, step, host_params, host_opt)
             last_native_ckpt = step
         psnr = None
-        if do_val:
+        if do_val and val_images:
             psnr = validation_psnr(host_params, val_images, cfg)
             log(f"Validation PSNR:\t{psnr}")
         elif do_ckpt:
@@ -503,7 +523,7 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
     # validation), so each boundary (step 1, multiples of either) still
     # lands exactly at the end of a dispatch.
     cad = cfg.checkpoint_every
-    if val_images:
+    if validate:   # uniform across processes (val_images is main-host-only)
         cad = math.gcd(cad, cfg.val_every)
     spd = max(1, min(cfg.steps_per_dispatch, cad))
     while cad % spd:

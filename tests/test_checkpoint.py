@@ -143,3 +143,48 @@ def test_train_loop_resume_empty_dir_starts_fresh(tmp_path):
     train_loop(cfg, iter(batches), max_steps=2, resume_from=str(ck_dir),
                log=logs2.append)
     assert any("Resumed from" in s for s in logs2)
+
+
+def test_checkpoint_keys_reports_contents(tmp_path):
+    params = jax.tree.map(jnp.asarray, P.init_params(0, 3))
+    cfg = TrainConfig(crop=24)
+    _, opt = make_train_step(cfg)
+    ck.save_native(str(tmp_path / "full"), 1, params, opt.init(params))
+    ck.save_native(str(tmp_path / "bare"), 1, params, None)
+    assert "opt_state" in ck.checkpoint_keys(
+        ck.latest_native(str(tmp_path / "full")))
+    assert "opt_state" not in ck.checkpoint_keys(
+        ck.latest_native(str(tmp_path / "bare")))
+
+
+def test_resume_params_only_checkpoint_warns_and_works(tmp_path):
+    """A checkpoint saved without optimizer state resumes (fresh Adam
+    moments) WITH a log note — the decision comes from the checkpoint's
+    metadata, never from a swallowed restore error."""
+    from rusty_sr_tpu.train.loop import train_loop
+    cfg = TrainConfig(crop=12, checkpoint_every=2)
+    params = jax.tree.map(jnp.asarray, P.init_params(0, 3))
+    ck.save_native(str(tmp_path), 2, params, None)
+    rng = np.random.default_rng(6)
+    batches = [rng.random((cfg.batch_size, cfg.crop, cfg.crop, 3)
+                          ).astype(np.float32) for _ in range(2)]
+    logs = []
+    out = train_loop(cfg, iter(batches), max_steps=4,
+                     resume_from=str(tmp_path), log=logs.append)
+    assert out is not None
+    assert any("no optimizer state" in s for s in logs)
+    assert any("Resumed from" in s for s in logs)
+
+
+def test_resume_incompatible_checkpoint_raises_cleanly(tmp_path):
+    """An opt_state tree that does not match the current optimizer must
+    surface as a clean RuntimeError — NOT silently resume with fresh
+    Adam moments (the pre-round-3 fallback swallowed any ValueError)."""
+    from rusty_sr_tpu.train.loop import train_loop
+    params = jax.tree.map(jnp.asarray, P.init_params(0, 3))
+    ck.save_native(str(tmp_path), 2, params,
+                   {"bogus": np.zeros(3, np.float32)})
+    cfg = TrainConfig(crop=12)
+    with pytest.raises(RuntimeError, match="incompatible|unreadable"):
+        train_loop(cfg, iter([]), resume_from=str(tmp_path),
+                   log=lambda s: None)

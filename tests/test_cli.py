@@ -310,3 +310,19 @@ def test_stable_namer_cross_batch_collisions():
     assert pick("/in/a.png") == "a.png"       # re-process: stable
     assert pick("/in/a.jpg") == "a.jpg.png"
     assert pick("/in/b.jpg") == "b.png"       # no collision: stem wins
+
+
+def test_stable_namer_fallback_collision_chain():
+    """The fallback name must be claim-checked too: with 'a.png',
+    'a.jpg.png' and 'a.jpg' all in play, the last one's fallback
+    'a.jpg.png' is already owned by the second — pre-fix it silently
+    took over that name and both sources clobbered one output file."""
+    from rusty_sr_tpu.cli import _StableNamer
+    pick = _StableNamer()
+    assert pick("/in/a.png") == "a.png"
+    assert pick("/in/a.jpg.png") == "a.jpg.png"   # stem 'a.jpg' is free
+    third = pick("/in/a.jpg")                      # both names taken
+    assert third == "a.jpg.2.png"
+    # stable on re-process, and all three remain distinct
+    assert pick("/in/a.jpg") == third
+    assert len({pick("/in/a.png"), pick("/in/a.jpg.png"), third}) == 3

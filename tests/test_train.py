@@ -413,3 +413,26 @@ def test_val_every_cadence_independent_of_checkpoints(tmp_path):
     steps = sorted(d for d in os.listdir(tmp_path / "ck")
                    if d.startswith("step_"))
     assert steps == ["step_00000001", "step_00000004"]
+
+
+def test_validate_flag_drives_cadence_without_val_images(tmp_path):
+    """Multi-host contract: ``validate`` (uniform across processes)
+    gates the validation cadence even on a process holding no
+    val_images (only the main host loads them).  Every val_every step
+    must reach the cadence sink — under multi-host that point contains
+    a collective param gather, so a process skipping it (the pre-fix
+    `bool(val_images)` gate) deadlocks the fleet and computes a
+    DIFFERENT dispatch-group size than process 0."""
+    import json
+    cfg = TrainConfig(crop=12, checkpoint_every=100, val_every=1)
+    rng = np.random.default_rng(8)
+    batches = [rng.random((cfg.batch_size, cfg.crop, cfg.crop, 3)
+                          ).astype(np.float32) for _ in range(3)]
+    mf = tmp_path / "m.jsonl"
+    train_loop(cfg, iter(batches), max_steps=3, val_images=None,
+               validate=True, metrics_file=str(mf), log=lambda s: None)
+    recs = [json.loads(ln) for ln in mf.read_text().splitlines()]
+    # val_every=1 fires the cadence at every step even with no local
+    # val_images; no PSNR is scored (that is the main host's job)
+    assert [r["step"] for r in recs] == [1, 2, 3]
+    assert all("val_psnr" not in r for r in recs)
