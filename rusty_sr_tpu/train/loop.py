@@ -295,7 +295,12 @@ def _host_tree(tree):
             if x.is_fully_replicated:
                 return np.asarray(x)
             from jax.experimental import multihost_utils
-            return np.asarray(multihost_utils.process_allgather(x))
+            # tiled=True: x is one global array whose shards live across
+            # processes (TP-sharded params) — gather THE array, don't
+            # stack per-process copies (tiled=False also plain rejects
+            # non-fully-addressable inputs).
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
         return np.asarray(x)
 
     return jax.tree.map(one, tree)

@@ -84,3 +84,52 @@ def test_partial_distributed_flags_error(capsys):
     rc = cli.main(["train", "o.rsr", "ti", "--coordinator", "x:1"])
     assert rc == 2
     assert "needs all of" in capsys.readouterr().err
+
+
+def test_two_process_tp_validation_only_step(tmp_path):
+    """Regression: a validation-only cadence step (val_every=1,
+    checkpoint_every=100) under a multi-host MODEL-parallel mesh.  The
+    param gather at that step is a collective (TP-sharded params are not
+    fully addressable), and the dispatch-group size derives from the
+    cadence gcd — pre-fix, both were gated on val_images (main host
+    only), so process 1 picked spd=10 vs process 0's spd=1 and never
+    entered the gather: mismatched SPMD programs + distributed deadlock.
+    Two virtual devices per process -> a 4-device data=2,model=2 mesh."""
+    from rusty_sr_tpu.utils.imageio import save_image
+    rng = np.random.default_rng(1)
+    ti = tmp_path / "ti"
+    ti.mkdir()
+    for i in range(4):
+        save_image(str(ti / f"t{i}.png"),
+                   rng.random((200, 200, 3)).astype(np.float32))
+    out = tmp_path / "out.rsr"
+    port = _free_port()
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
+
+    def cmd(pid: int):
+        return [sys.executable, "-m", "rusty_sr_tpu.cli", "train",
+                str(out), str(ti), "--platform", "cpu",
+                "--max_steps", "3", "--batch", "4",
+                "--mesh", "data=2,model=2",
+                "-v", str(ti), "-m", "1", "--val_every", "1",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num_processes", "2", "--process_id", str(pid)]
+
+    p1 = subprocess.Popen(cmd(1), env=env, stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT, text=True)
+    try:
+        p0 = subprocess.run(cmd(0), env=env, capture_output=True,
+                            text=True, timeout=900)
+        out1, _ = p1.communicate(timeout=900)
+    finally:
+        if p1.poll() is None:
+            p1.kill()
+    assert p0.returncode == 0, f"proc0:\n{p0.stdout}\n{p0.stderr}"
+    assert p1.returncode == 0, f"proc1:\n{out1}"
+    # validation fired at EVERY step on the main host only
+    assert p0.stdout.count("Validation PSNR:") == 3
+    assert "Validation PSNR:" not in out1
+    assert "Done" in p0.stdout
