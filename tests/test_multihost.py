@@ -133,3 +133,49 @@ def test_two_process_tp_validation_only_step(tmp_path):
     assert p0.stdout.count("Validation PSNR:") == 3
     assert "Validation PSNR:" not in out1
     assert "Done" in p0.stdout
+
+
+def test_two_process_multistep_dispatch(tmp_path):
+    """Device-resident multi-step groups under multi-host: with no
+    validation and checkpoint_every=2, the cadence gcd is 2, so
+    steps_per_dispatch clamps to 2 and steps 3-4 run as ONE dispatch of
+    make_train_step_multi over the global (2, B, ...) batch array
+    (to_device_multi / batch5_sh).  No existing test drove that
+    assembly across processes."""
+    from rusty_sr_tpu.utils.imageio import save_image
+    rng = np.random.default_rng(2)
+    ti = tmp_path / "ti"
+    ti.mkdir()
+    for i in range(4):
+        save_image(str(ti / f"t{i}.png"),
+                   rng.random((200, 200, 3)).astype(np.float32))
+    out = tmp_path / "out.rsr"
+    port = _free_port()
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
+
+    def cmd(pid: int):
+        return [sys.executable, "-m", "rusty_sr_tpu.cli", "train",
+                str(out), str(ti), "--platform", "cpu",
+                "--max_steps", "4", "--batch", "4",
+                "--ckpt_every", "2",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num_processes", "2", "--process_id", str(pid)]
+
+    p1 = subprocess.Popen(cmd(1), env=env, stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT, text=True)
+    try:
+        p0 = subprocess.run(cmd(0), env=env, capture_output=True,
+                            text=True, timeout=900)
+        out1, _ = p1.communicate(timeout=900)
+    finally:
+        if p1.poll() is None:
+            p1.kill()
+    assert p0.returncode == 0, f"proc0:\n{p0.stdout}\n{p0.stderr}"
+    assert p1.returncode == 0, f"proc1:\n{out1}"
+    # checkpoint log lines at steps 1, 2 and 4 (step 4 ends a 2-step
+    # dispatch group; step 3 has no cadence)
+    assert "Done" in p0.stdout
+    assert out.stat().st_size == 1_043_676
