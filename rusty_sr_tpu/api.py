@@ -50,8 +50,8 @@ def upscale(image: np.ndarray, weights: Union[str, dict] = "imagenet",
 
     tree = _resolve_params(weights, factor)
     image = np.asarray(image)
-    if image.dtype == np.uint8 and engine == "xla":
-        pass  # u8 end-to-end device path
+    if image.dtype == np.uint8 and engine in ("xla", "int8"):
+        pass  # u8 end-to-end device path (4x less transfer, u8 out)
     else:
         if image.dtype == np.uint8:
             image = image.astype(np.float32) / 255.0

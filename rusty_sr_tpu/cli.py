@@ -192,6 +192,15 @@ def run_upscale(args) -> int:
 
     import os
     if os.path.isdir(args.INPUT_FILE):
+        if getattr(args, "mesh", None):
+            # Folder mode batches tiles across images on ONE device; a
+            # silent fallback would hand a user who asked for N-chip
+            # sharding single-chip throughput with no diagnostic.
+            print("error: --mesh is not supported in folder mode "
+                  "(batch tiles across images run single-device); "
+                  "upscale images individually for sharded inference",
+                  file=sys.stderr)
+            return 2
         return _run_upscale_folder(args)
 
     try:
@@ -476,7 +485,9 @@ def run_watch(args) -> int:
     os.makedirs(args.OUTPUT_DIR, exist_ok=True)
 
     done: dict = {}      # path -> mtime processed (or last failed attempt)
-    fails: dict = {}     # path -> attempt count
+    fails: dict = {}     # path -> (mtime, attempt count); resets on mtime
+    # change so a file that was mid-copy for >3 polls is retried once its
+    # write completes instead of being blacklisted forever
     pick_name = _StableNamer()  # output names stable for the watcher's life
     int8_cache: dict = {}  # int8 trunk calibrated once, on the first batch
     print(f"Watching {args.INPUT_DIR} (poll {args.poll}s; Ctrl-C to stop)",
@@ -489,15 +500,20 @@ def run_watch(args) -> int:
                     mt = os.path.getmtime(f)
                 except OSError:
                     continue
-                if done.get(f) == mt or fails.get(f, 0) >= 3:
+                if done.get(f) == mt:
+                    continue
+                fmt, fc = fails.get(f, (None, 0))
+                if fmt is not None and fmt != mt:
+                    fc = 0    # file changed since the failures: retry
+                if fc >= 3:
                     continue
                 try:
                     batch_imgs.append(load_image_u8(f))
                     batch_paths.append((f, mt))
                 except OSError as e:
                     # possibly still being written — retry next scans
-                    fails[f] = fails.get(f, 0) + 1
-                    if fails[f] >= 3:
+                    fails[f] = (mt, fc + 1)
+                    if fc + 1 >= 3:
                         print(f"skipping {f}: {e}", file=sys.stderr)
             if batch_imgs:
                 t0 = time.time()
@@ -515,7 +531,7 @@ def run_watch(args) -> int:
                         save_image_u8(os.path.join(args.OUTPUT_DIR, name),
                                       out)
                     except OSError as e:
-                        fails[f] = fails.get(f, 0) + 1
+                        fails[f] = (mt, fails.get(f, (mt, 0))[1] + 1)
                         print(f"could not write {name}: {e}",
                               file=sys.stderr)
                         continue

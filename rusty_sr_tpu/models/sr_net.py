@@ -135,15 +135,16 @@ def sr_apply_fused(mparams, x: jnp.ndarray, factor: int = 3, *,
             h = h.astype(compute_dtype)
         return _conv(h, w)
 
+    n = p["f_bias"].shape[0]   # trunk width (32 default, width-generic)
     f = belu(cv(x, "conv0", native=True) + p["f_bias"], p["f_belu"])
-    a = cv(f, "convA")                                   # (…, 96)
-    l1 = belu(a[..., :32] + p["l1_bias"], p["l1_belu"])
-    b = cv(l1, "convB")                                  # (…, 64+e)
-    l2 = belu(a[..., 32:64] + b[..., :32] + p["l2_bias"], p["l2_belu"])
-    c = cv(l2, "convC")                                  # (…, 32+e)
-    l3 = belu(a[..., 64:96] + b[..., 32:64] + c[..., :32] + p["l3_bias"],
-              p["l3_belu"])
-    expand = (b[..., 64:64 + e] + c[..., 32:32 + e] + cv(l3, "conv10")
+    a = cv(f, "convA")                                   # (…, 3n)
+    l1 = belu(a[..., :n] + p["l1_bias"], p["l1_belu"])
+    b = cv(l1, "convB")                                  # (…, 2n+e)
+    l2 = belu(a[..., n:2 * n] + b[..., :n] + p["l2_bias"], p["l2_belu"])
+    c = cv(l2, "convC")                                  # (…, n+e)
+    l3 = belu(a[..., 2 * n:3 * n] + b[..., n:2 * n] + c[..., :n]
+              + p["l3_bias"], p["l3_belu"])
+    expand = (b[..., 2 * n:2 * n + e] + c[..., n:n + e] + cv(l3, "conv10")
               + p["expand_bias"])
     base_ph = bilinear_phases(x, factor)
     total = base_ph + expand.astype(base_ph.dtype)  # base+sum in f32

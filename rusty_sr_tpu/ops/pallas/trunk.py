@@ -46,6 +46,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# The one closed-form BeLU (ops/activations.py) — pure jnp, usable inside
+# a Pallas kernel; importing keeps the golden-tested math in one place.
+from rusty_sr_tpu.ops.activations import belu as _belu
+
 HALO = 7   # trunk receptive-field radius in LR px (SURVEY.md §7)
 _KMAX = 512  # max matmul K per chunk (bounds patch scratch)
 
@@ -125,10 +129,6 @@ def _conv_stage(src, rows_out, cols_out, kh, w_flat, precision, pat_ref,
     return out
 
 
-def _belu(x, p):
-    return p * x + jnp.sqrt(x * x + 1.0) - 1.0
-
-
 def _trunk_kernel(x_ref, m_ref,
                   w0_ref, wA_ref, wB_ref, wC_ref, wD_ref,
                   fb_ref, fp_ref, b1_ref, p1_ref, b2_ref, p2_ref,
@@ -147,6 +147,7 @@ def _trunk_kernel(x_ref, m_ref,
 
     # slab origin == output origin - HALO; stage bases (both dims):
     # f: -5 (slab off 2), l1: -3 (4), l2: -2 (5), l3: -1 (6), expand: 0 (7)
+    n = fb_ref.shape[-1]   # trunk width (32 default, width-generic)
     x = x_ref[...].astype(cd)                       # (rh+14, cw+14, 3)
 
     f = _conv_stage(x, rh + 10, cw + 10, 5, w0_ref[...].astype(cd),
@@ -155,25 +156,28 @@ def _trunk_kernel(x_ref, m_ref,
 
     a = _conv_stage(f, rh + 6, cw + 6, 5, wA_ref[...].astype(cd),
                     precision, pat_ref, rank3)
-    l1 = masked(_belu(a[..., :32] + b1_ref[0], p1_ref[0]), 4, rh + 6, cw + 6)
+    l1 = masked(_belu(a[..., :n] + b1_ref[0], p1_ref[0]), 4,
+                rh + 6, cw + 6)
     a = a.astype(cd)
 
     b = _conv_stage(l1, rh + 4, cw + 4, 3, wB_ref[...].astype(cd),
                     precision, pat_ref, rank3)
-    l2 = masked(_belu(a[1:rh + 5, 1:cw + 5, 32:64] + b[..., :32]
+    l2 = masked(_belu(a[1:rh + 5, 1:cw + 5, n:2 * n] + b[..., :n]
                       + b2_ref[0], p2_ref[0]), 5, rh + 4, cw + 4)
     b = b.astype(cd)
 
     c = _conv_stage(l2, rh + 2, cw + 2, 3, wC_ref[...].astype(cd),
                     precision, pat_ref, rank3)
-    l3 = masked(_belu(a[2:rh + 4, 2:cw + 4, 64:96] + b[1:rh + 3, 1:cw + 3, 32:64]
-                      + c[..., :32] + b3_ref[0], p3_ref[0]), 6, rh + 2, cw + 2)
+    l3 = masked(_belu(a[2:rh + 4, 2:cw + 4, 2 * n:3 * n]
+                      + b[1:rh + 3, 1:cw + 3, n:2 * n]
+                      + c[..., :n] + b3_ref[0], p3_ref[0]), 6,
+                rh + 2, cw + 2)
     c = c.astype(cd)
 
     d = _conv_stage(l3, rh, cw, 3, wD_ref[...].astype(cd), precision,
                     pat_ref, rank3)
-    expand = (b[2:rh + 2, 2:cw + 2, 64:64 + e].astype(jnp.float32)
-              + c[1:rh + 1, 1:cw + 1, 32:32 + e].astype(jnp.float32)
+    expand = (b[2:rh + 2, 2:cw + 2, 2 * n:2 * n + e].astype(jnp.float32)
+              + c[1:rh + 1, 1:cw + 1, n:n + e].astype(jnp.float32)
               + d[..., :e] + eb_ref[0])
     out_ref[...] = expand.astype(out_ref.dtype)
 

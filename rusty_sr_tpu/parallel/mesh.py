@@ -152,7 +152,17 @@ def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
     # Dispatch every chunk before the first fetch (same pipeline as
     # tiled_sr/tiled_sr_batch): a synchronous per-chunk np.asarray would
     # serialise device compute against the D2H round trips.
-    pending = []
+    from collections import deque
+    from rusty_sr_tpu.parallel.tiling import _MAX_INFLIGHT
+    pending: deque = deque()
+
+    def drain_one():
+        start, cnt, res = pending.popleft()
+        if u8_io:
+            _scatter_u8(np.asarray(res[:cnt]), start, nx, tf, out)
+        else:
+            native.scatter_tiles(np.asarray(res[:cnt]), start, nx, out)
+
     for start in range(0, n_tiles, chunk):
         stop = min(start + chunk, n_tiles)
         cnt = stop - start
@@ -174,13 +184,11 @@ def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
                                jax.device_put(eb, sh),
                                jax.device_put(mb, sh),
                                factor, tile, compute_dtype, u8_io, out16)
-        pending.append((start, cnt, res))
-    for _, _, res in pending:
         if hasattr(res, "copy_to_host_async"):
             res.copy_to_host_async()
-    for start, cnt, res in pending:
-        if u8_io:
-            _scatter_u8(np.asarray(res[:cnt]), start, nx, tf, out)
-        else:
-            native.scatter_tiles(np.asarray(res[:cnt]), start, nx, out)
+        pending.append((start, cnt, res))
+        if len(pending) >= _MAX_INFLIGHT:
+            drain_one()  # bound in-flight chunk memory (per-chip HBM)
+    while pending:
+        drain_one()
     return out

@@ -36,6 +36,7 @@ on hardware but currently patch-store-bound, kept for further kernel work).
 from __future__ import annotations
 
 import functools
+from collections import deque
 from typing import Callable, Optional
 
 import numpy as np
@@ -708,7 +709,15 @@ def tiled_simple(image: np.ndarray, factor: int = 3, *, mode: str,
     ow = wid * factor if mode == "bilinear" else wid // factor
     out_dtype = np.uint8 if u8_io else np.float32
     out = np.zeros((oh, ow, 3), out_dtype)
-    pending = []
+    pending: deque = deque()
+
+    def drain_one():
+        start, cnt, res = pending.popleft()
+        if u8_io:
+            _scatter_u8(np.asarray(res[:cnt]), start, nx, tf, out)
+        else:
+            native.scatter_tiles(np.asarray(res[:cnt]), start, nx, out)
+
     for start in range(0, n_tiles, chunk):
         stop = min(start + chunk, n_tiles)
         cnt = stop - start
@@ -716,16 +725,14 @@ def tiled_simple(image: np.ndarray, factor: int = 3, *, mode: str,
         if cnt < chunk:
             eb = np.concatenate(
                 [eb, np.zeros((chunk - cnt, side, side, 3), et.dtype)])
-        pending.append((start, cnt, _tile_kernel_simple(
-            device_put(eb), factor, tile, mode, u8_io)))
-    for _, _, res in pending:
+        res = _tile_kernel_simple(device_put(eb), factor, tile, mode, u8_io)
         if hasattr(res, "copy_to_host_async"):
             res.copy_to_host_async()
-    for start, cnt, res in pending:
-        if u8_io:
-            _scatter_u8(np.asarray(res[:cnt]), start, nx, tf, out)
-        else:
-            native.scatter_tiles(np.asarray(res[:cnt]), start, nx, out)
+        pending.append((start, cnt, res))
+        if len(pending) >= _MAX_INFLIGHT:
+            drain_one()  # bound in-flight chunk memory (see _MAX_INFLIGHT)
+    while pending:
+        drain_one()
     return out
 
 
@@ -883,7 +890,8 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
         run = lambda z, e, m: _tile_kernel(  # noqa: E731
             params, z, e, m, factor, tile, compute_dtype, u8_io, out16)
 
-    pending = []
+    pending: deque = deque()
+    img_state = [0]   # image cursor shared with the drain helper
     for g0 in range(0, n_tiles, chunk):
         g1 = min(g0 + chunk, n_tiles)
         cnt = g1 - g0
@@ -896,31 +904,42 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
                     [zb, np.zeros((fill, side, side, 3), et.dtype)])
             eb = np.concatenate([eb, np.zeros((fill, side, side, 3), et.dtype)])
             mb = np.concatenate([mb, np.zeros((fill, side, side, 1), mt.dtype)])
-        pending.append(
-            (g0, cnt, run(None if zb is None else device_put(zb),
-                          device_put(eb), device_put(mb))))
-
-    for _, _, res in pending:  # start all D2H copies before the first fetch
+        res = run(None if zb is None else device_put(zb),
+                  device_put(eb), device_put(mb))
         if hasattr(res, "copy_to_host_async"):
-            res.copy_to_host_async()
-    img_idx = 0
-    for g0, cnt, res in pending:
-        res = np.asarray(res[:cnt])
-        j = 0
-        while j < cnt:  # split the chunk into per-image contiguous runs
-            g = g0 + j
-            while g >= starts[img_idx + 1]:
-                img_idx += 1
-            local = g - starts[img_idx]
-            run_len = min(cnt - j, int(starts[img_idx + 1]) - g)
-            ny, nx, _, _ = metas[img_idx]
-            if u8_io:
-                _scatter_u8(res[j:j + run_len], local, nx, tf, outs[img_idx])
-            else:
-                native.scatter_tiles(res[j:j + run_len], local, nx,
-                                     outs[img_idx])
-            j += run_len
+            res.copy_to_host_async()  # D2H overlaps later chunks' compute
+        pending.append((g0, cnt, res))
+        if len(pending) >= _MAX_INFLIGHT:
+            _drain_batch_chunk(pending, starts, metas, outs, img_state,
+                               tf, u8_io)
+    while pending:
+        _drain_batch_chunk(pending, starts, metas, outs, img_state,
+                           tf, u8_io)
     return outs
+
+
+def _drain_batch_chunk(pending, starts, metas, outs, img_state,
+                       tf: int, u8_io: bool):
+    """Fetch the OLDEST in-flight chunk and scatter it across the images
+    it spans (chunks are global-tile-index contiguous; `img_state`
+    carries the image cursor between calls)."""
+    g0, cnt, res = pending.popleft()
+    res = np.asarray(res[:cnt])
+    j = 0
+    while j < cnt:  # split the chunk into per-image contiguous runs
+        g = g0 + j
+        while g >= starts[img_state[0] + 1]:
+            img_state[0] += 1
+        local = g - starts[img_state[0]]
+        run_len = min(cnt - j, int(starts[img_state[0] + 1]) - g)
+        ny, nx, _, _ = metas[img_state[0]]
+        if u8_io:
+            _scatter_u8(res[j:j + run_len], local, nx, tf,
+                        outs[img_state[0]])
+        else:
+            native.scatter_tiles(res[j:j + run_len], local, nx,
+                                 outs[img_state[0]])
+        j += run_len
 
 
 # Measured ms/chunk of the PACKED fast-tier kernel (merged-base form) at
@@ -941,6 +960,16 @@ _CHUNK_T_MS = {1: 2.5, 2: 4.1, 4: 5.8, 8: 6.7, 16: 10.3, 24: 13.7,
 _LADDER_TILE = 242      # anchor tile the ladder was measured at
 _CLIFF_B = 112          # HBM cliff just past this batch at the anchor
 _DEFAULT_CHUNK = 24     # non-packed tiers (measured safe, ~5 GB peak)
+
+# Max dispatched-but-unfetched chunks per driver.  Dispatch-ahead keeps
+# device compute, H2D and D2H overlapped across chunks, but every parked
+# chunk holds its HR output (+input buffers until consumed) on device and
+# host — unbounded, a big folder/image would scale in-flight memory with
+# INPUT size and blow the 16 GB HBM that the per-chunk ladder carefully
+# respects.  8 chunks ≈ 1.7 GB of parked outputs at the packed tier's
+# B=112 (and less elsewhere): deep enough that the fetch loop never
+# starves the dispatch queue, bounded enough to stay off the HBM wall.
+_MAX_INFLIGHT = 8
 
 
 def _pick_chunk(n_tiles: int, tile: int = _LADDER_TILE) -> int:
@@ -1053,7 +1082,16 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
     # overlaps device compute/transfer across chunks instead of paying a
     # full round-trip per chunk.
     tdt = et.dtype
-    pending = []
+    tf = tile * factor
+    pending: deque = deque()
+
+    def drain_one():
+        start, cnt, res = pending.popleft()
+        if u8_io:
+            _scatter_u8(np.asarray(res[:cnt]), start, nx, tf, out)
+        else:
+            native.scatter_tiles(np.asarray(res[:cnt]), start, nx, out)
+
     for start in range(0, n_tiles, chunk):
         stop = min(start + chunk, n_tiles)
         cnt = stop - start
@@ -1066,16 +1104,13 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
                     [zb, np.zeros((fill, side, side, 3), tdt)])
             eb = np.concatenate([eb, np.zeros((fill, side, side, 3), tdt)])
             mb = np.concatenate([mb, np.zeros((fill, side, side, 1), mt.dtype)])
-        pending.append(
-            (start, cnt, run(None if zb is None else device_put(zb),
-                             device_put(eb), device_put(mb))))
-    for _, _, res in pending:  # start all D2H copies before the first fetch
+        res = run(None if zb is None else device_put(zb),
+                  device_put(eb), device_put(mb))
         if hasattr(res, "copy_to_host_async"):
-            res.copy_to_host_async()
-    tf = tile * factor
-    for start, cnt, res in pending:
-        if u8_io:
-            _scatter_u8(np.asarray(res[:cnt]), start, nx, tf, out)
-        else:
-            native.scatter_tiles(np.asarray(res[:cnt]), start, nx, out)
+            res.copy_to_host_async()  # D2H overlaps later chunks' compute
+        pending.append((start, cnt, res))
+        if len(pending) >= _MAX_INFLIGHT:
+            drain_one()  # bound device+host memory held by parked outputs
+    while pending:
+        drain_one()
     return out

@@ -379,7 +379,12 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
     params = start_params if start_params is not None else \
         params_lib.init_params(seed, cfg.factor)
     params = jax.tree.map(jnp.asarray, params)
-    step_fn, opt = make_train_step(cfg, mesh)
+    # A mesh with a spatial axis means the user ASKED for H-dimension
+    # partitioning (cli --mesh data=N,spatial=M) — honour it; leaving
+    # spatial=False would replicate the batch over that axis and the
+    # spatial devices would do fully redundant work.
+    use_spatial = mesh is not None and mesh.shape.get("spatial", 1) > 1
+    step_fn, opt = make_train_step(cfg, mesh, spatial=use_spatial)
     opt_state = opt.init(params)
 
     start_step = 0
@@ -447,13 +452,14 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
     nproc = jax.process_count()
     multihost = mesh is not None and nproc > 1
     if multihost:
-        batch_sh = NamedSharding(mesh, P("data", None, None, None))
+        sp = "spatial" if use_spatial else None
+        batch_sh = NamedSharding(mesh, P("data", sp, None, None))
         if mesh.shape.get("model", 1) == 1:  # TP already put its shardings
             repl = NamedSharding(mesh, P())
             params = jax.device_put(params, repl)
             opt_state = jax.device_put(opt_state, repl)
 
-        batch5_sh = NamedSharding(mesh, P(None, "data", None, None, None))
+        batch5_sh = NamedSharding(mesh, P(None, "data", sp, None, None))
 
         def to_device(hr):
             return jax.make_array_from_process_local_data(
@@ -476,9 +482,10 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
     t_start = _time.time()
     step = start_step
     last_native_ckpt = start_step
+    last_rsr_ckpt = start_step
 
     def cadence(step, loss, mse):
-        nonlocal last_native_ckpt
+        nonlocal last_native_ckpt, last_rsr_ckpt
         # Checkpointing and validation run on independent cadences
         # (both default 100 = the reference's single cadence,
         # src/main.rs:211,233); step 1 fires both, as the reference does.
@@ -503,6 +510,7 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
         if do_ckpt and param_file is not None:
             host = jax.tree.map(np.asarray, host_params)
             params_lib.save_rsr_file(param_file, host, cfg.factor)
+            last_rsr_ckpt = step
         if do_ckpt and native_ckpt_dir is not None:
             from rusty_sr_tpu.train import checkpoint as _ck
             _ck.save_native(native_ckpt_dir, step, host_params, host_opt)
@@ -547,7 +555,8 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
                 batches.append(hr)
             if len(batches) == spd and group == spd and spd > 1:
                 if multi_fn is None:
-                    multi_fn, _ = make_train_step_multi(cfg, spd, mesh)
+                    multi_fn, _ = make_train_step_multi(
+                        cfg, spd, mesh, spatial=use_spatial)
                 hrs = np.stack([np.asarray(h, np.float32) for h in batches])
                 params, opt_state, loss, mse = multi_fn(
                     params, opt_state, to_device_multi(hrs))
@@ -569,6 +578,13 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
     # host-local copies (a collective, so run it on every process) before
     # the final checkpoint and return, exactly like cadence() does.
     host_params = _host_tree(params) if multihost else params
+    if param_file is not None and step > last_rsr_ckpt:
+        # FINAL params to the .rsr output: a run whose last step is off
+        # the 100-step cadence must not hand the user a file that is up
+        # to checkpoint_every-1 steps stale (the whole point of
+        # `train OUT.rsr` is that OUT.rsr holds the trained weights).
+        params_lib.save_rsr_file(
+            param_file, jax.tree.map(np.asarray, host_params), cfg.factor)
     if native_ckpt_dir is not None and step > last_native_ckpt:
         # Final-state checkpoint: a finished (or step-capped) run can be
         # resumed/extended from exactly where it stopped, not from the

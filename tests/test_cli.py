@@ -326,3 +326,47 @@ def test_stable_namer_fallback_collision_chain():
     # stable on re-process, and all three remain distinct
     assert pick("/in/a.jpg") == third
     assert len({pick("/in/a.png"), pick("/in/a.jpg.png"), third}) == 3
+
+
+def test_watch_retries_after_mtime_change(tmp_path):
+    """A file that fails to read for 3+ polls (mid-copy) must be retried
+    once its mtime changes — pre-fix the failure counter never reset and
+    the resident watcher blacklisted the path forever."""
+    import os
+    import subprocess
+    import sys as _sys
+    import time as _time
+    src = tmp_path / "in"
+    src.mkdir()
+    dst = tmp_path / "out"
+    (src / "a.png").write_bytes(b"not a png yet")   # partial write
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
+    logf = tmp_path / "watch.log"
+    with open(logf, "w") as lf:
+        proc = subprocess.Popen(
+            [_sys.executable, "-m", "rusty_sr_tpu.cli", "watch",
+             "--platform", "cpu", "-p", "anime", "--tile", "16",
+             "--poll", "0.05", str(src), str(dst)],
+            env=env, stdout=lf, stderr=subprocess.STDOUT, text=True)
+    try:
+        deadline = _time.time() + 180
+        # wait until the watcher has actually blacklisted the partial
+        # file (3 failed polls), THEN complete the write (mtime changes)
+        while _time.time() < deadline and \
+                "skipping" not in logf.read_text():
+            _time.sleep(0.1)
+        assert "skipping" in logf.read_text(), logf.read_text()
+        _time.sleep(0.2)  # a couple of polls with the file blacklisted
+        from rusty_sr_tpu.utils.imageio import save_image
+        rng = np.random.default_rng(1)
+        save_image(str(src / "a.png"),
+                   rng.random((12, 10, 3)).astype(np.float32))
+        while _time.time() < deadline and not (dst / "a.png").exists():
+            _time.sleep(0.25)
+        assert (dst / "a.png").exists(), \
+            "watcher never retried the file:\n" + logf.read_text()
+    finally:
+        proc.send_signal(2)  # SIGINT == Ctrl-C: clean watcher shutdown
+        proc.wait(timeout=60)
+    assert proc.returncode == 0, logf.read_text()

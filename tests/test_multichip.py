@@ -89,3 +89,29 @@ def test_tp_train_step_matches_single_device(tree):
     assert "model" in getattr(sh, "spec", ())[-1:] or \
         sh.is_equivalent_to(jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec(None, None, None, "model")), 4)
+
+
+def test_spatial_train_step_matches_single_device(tree):
+    """dp x spatial training: one step on a (data=2, spatial=2) mesh
+    with the batch H dimension partitioned (what `--mesh
+    data=N,spatial=M` wires via train_loop's use_spatial) must match the
+    single-device step numerically — GSPMD partitions the convs/pools
+    with halo exchange, it must not change the math."""
+    from rusty_sr_tpu.train.loop import TrainConfig, make_train_step
+
+    cfg = TrainConfig(factor=3, batch_size=4, crop=24)
+    hr = RNG.random((4, 24, 24, 3), dtype=np.float32)
+
+    ref_step, ref_opt = make_train_step(cfg)
+    p0 = jax.tree.map(jnp.asarray, P.init_params(3, 3))
+    rp, ro, rl, rm = ref_step(p0, ref_opt.init(p0), jnp.asarray(hr))
+
+    mesh = make_mesh(n_data=2, n_spatial=2, n_model=1)
+    step, opt = make_train_step(cfg, mesh, spatial=True)
+    p1 = jax.tree.map(jnp.asarray, P.init_params(3, 3))
+    gp, go, gl, gm = step(p1, opt.init(p1), jnp.asarray(hr))
+
+    np.testing.assert_allclose(float(gl), float(rl), rtol=1e-5)
+    for k in rp:
+        np.testing.assert_allclose(np.asarray(gp[k]), np.asarray(rp[k]),
+                                   atol=2e-6, err_msg=k)

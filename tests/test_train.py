@@ -436,3 +436,21 @@ def test_validate_flag_drives_cadence_without_val_images(tmp_path):
     # val_images; no PSNR is scored (that is the main host's job)
     assert [r["step"] for r in recs] == [1, 2, 3]
     assert all("val_psnr" not in r for r in recs)
+
+
+def test_final_params_written_to_rsr_off_cadence(tmp_path):
+    """A run whose last step is off the checkpoint cadence must still
+    leave the FINAL trained params in the .rsr output — pre-fix,
+    `train out.rsr D --max_steps 50` handed the user the step-1 file
+    (up to checkpoint_every-1 steps of training silently lost)."""
+    cfg = TrainConfig(crop=12, checkpoint_every=100)
+    rng = np.random.default_rng(4)
+    batches = [rng.random((cfg.batch_size, cfg.crop, cfg.crop, 3)
+                          ).astype(np.float32) for _ in range(3)]
+    pf = str(tmp_path / "out.rsr")
+    final = train_loop(cfg, iter(batches), max_steps=3, param_file=pf,
+                       log=lambda s: None)
+    got = P.load_rsr_file(pf, cfg.factor)
+    for k in final:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(final[k]))
