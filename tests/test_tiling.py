@@ -301,3 +301,24 @@ def test_two_input_packed_kernel_bit_identical(anime_params, cartoon):
     two = np.asarray(_tile_kernel_packed(pp, None, ea, ma, 3, 50,
                                          jnp.bfloat16))
     np.testing.assert_array_equal(three, two)
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 3), (1, 7, 3), (5, 1, 3)])
+def test_degenerate_image_sizes(anime_params, shape):
+    """1-pixel-thin and 1x1 images through both tiers: the tile machinery
+    (halo pad, mask, packed edge*mask derivation, crop/scatter) must
+    degrade to the whole-image forward exactly."""
+    from rusty_sr_tpu.models.sr_net import sr_apply
+    rng = np.random.default_rng(0)
+    img = (rng.random(shape) * 255).astype(np.uint8)
+    whole = np.asarray(sr_apply(
+        anime_params, jnp.asarray(img.astype(np.float32) / 255.0)[None],
+        3)[0])
+    wq = np.clip(np.floor(np.clip(whole, 0, 1) * 255 + 0.5),
+                 0, 255).astype(np.uint8)
+    exact = tiled_sr(anime_params, img, 3, tile=16)
+    np.testing.assert_array_equal(exact, wq)
+    fast = tiled_sr(anime_params, img, 3, tile=16,
+                    compute_dtype=jnp.bfloat16)
+    assert fast.shape == wq.shape
+    assert np.abs(fast.astype(int) - wq.astype(int)).max() <= 1
