@@ -100,12 +100,15 @@ def train_folder(folder: str, *, steps: Optional[int] = None,
                  ckpt_dir: Optional[str] = None,
                  resume_from: Optional[str] = None,
                  amp: bool = False, precision: str = "highest",
+                 steps_per_dispatch: Optional[int] = None,
                  seed: int = 0):
     """Train on an image folder with the reference protocol; returns params.
 
     ``ckpt_dir``/``resume_from`` give resumable native checkpoints
     (params + Adam state + step); ``amp`` is the bf16 mixed-precision
-    tier (~2x faster, PERF.md); ``precision`` 'highest' | 'high'."""
+    tier (~2x faster, PERF.md); ``precision`` 'highest' | 'high';
+    ``steps_per_dispatch`` scans N optimizer steps inside one device
+    dispatch (default 10, clamped to the ckpt/val cadences)."""
     from rusty_sr_tpu.train.data import (
         ImageFolderSupplier, PrefetchBuffer, list_images)
     from rusty_sr_tpu.train.loop import TrainConfig, train_loop
@@ -113,6 +116,10 @@ def train_folder(folder: str, *, steps: Optional[int] = None,
 
     cfg = TrainConfig(factor=factor, linear_loss=linear_loss, loss_kind=loss,
                       amp=amp, precision=precision)
+    if steps_per_dispatch is not None:
+        if steps_per_dispatch < 1:
+            raise ValueError("steps_per_dispatch must be >= 1")
+        cfg.steps_per_dispatch = steps_per_dispatch
     sup = ImageFolderSupplier(folder, recurse=recurse,
                               crop=(cfg.crop, cfg.crop), seed=seed)
     buf = PrefetchBuffer(sup, depth=128, batch_size=cfg.batch_size)

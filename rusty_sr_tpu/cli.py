@@ -155,6 +155,13 @@ def build_train_parser() -> argparse.ArgumentParser:
                    help="validation cadence in steps (default 100, the "
                         "reference's single combined cadence; independent "
                         "of --ckpt_every)")
+    t.add_argument("--steps_per_dispatch", type=int, default=None,
+                   metavar="N",
+                   help="device-resident multi-step training: scan N "
+                        "optimizer steps inside one dispatch (default 10; "
+                        "clamped to divide the ckpt/val cadences; 1 "
+                        "disables — per-step host dispatch costs ~30%% of "
+                        "a step at the reference batch, PERF.md probe47)")
     t.add_argument("--coordinator", metavar="HOST:PORT", default=None,
                    help="multi-host training: coordinator address for "
                         "jax.distributed (run the same command on every "
@@ -600,7 +607,10 @@ def run_train(args) -> int:
                       precision=getattr(args, "precision", "highest"),
                       trunk=getattr(args, "trunk", "merged"))
     for flag, arg_v, attr in (("--ckpt_every", args.ckpt_every, "checkpoint_every"),
-                              ("--val_every", args.val_every, "val_every")):
+                              ("--val_every", args.val_every, "val_every"),
+                              ("--steps_per_dispatch",
+                               getattr(args, "steps_per_dispatch", None),
+                               "steps_per_dispatch")):
         if arg_v is not None:
             if arg_v < 1:
                 print(f"error: {flag} must be >= 1 (got {arg_v})",
