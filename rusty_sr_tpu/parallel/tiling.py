@@ -932,7 +932,7 @@ def _drain_batch_chunk(pending, starts, metas, outs, img_state,
             img_state[0] += 1
         local = g - starts[img_state[0]]
         run_len = min(cnt - j, int(starts[img_state[0] + 1]) - g)
-        ny, nx, _, _ = metas[img_state[0]]
+        nx = metas[img_state[0]][1]
         if u8_io:
             _scatter_u8(res[j:j + run_len], local, nx, tf,
                         outs[img_state[0]])
