@@ -112,7 +112,12 @@ def shard_files_for_host(files, process_index: Optional[int] = None,
     Uses `jax.process_index/count` when initialised (multi-host runs via
     `jax.distributed.initialize`); single-process runs get all files.
     """
-    if process_index is None or process_count is None:
+    if (process_index is None) != (process_count is None):
+        # A half-specified pair silently re-derived from jax would stripe
+        # with the WRONG index/count — duplicated or starved hosts.
+        raise ValueError("pass both process_index and process_count, "
+                         "or neither")
+    if process_index is None:
         import jax
         process_index = jax.process_index()
         process_count = jax.process_count()
@@ -159,8 +164,13 @@ class PrefetchBuffer:
                     batch = []
                     if not self._put(arr):
                         return
-        except Exception as e:   # any worker crash (unreadable folder,
-            self._error = e      # unstackable shapes, decoder bombs, ...)
+        except BaseException as e:  # noqa: B036 — any worker crash
+            # (unreadable folder, unstackable shapes, decoder bombs) AND
+            # BaseExceptions (SystemExit from a hook, a signal landing on
+            # this thread): all must reach the consumer — a swallowed one
+            # would read as a clean end-of-stream and silently truncate
+            # training.
+            self._error = e
         # End-of-stream sentinel (sequential suppliers / supplier error);
         # same stop-aware put so shutdown can never wedge on a full queue.
         # A final PARTIAL batch is dropped by design: the training step
@@ -178,7 +188,14 @@ class PrefetchBuffer:
                 item = self.q.get(timeout=0.5)
             except queue.Empty:
                 if not self._thread.is_alive():
-                    item = None  # worker died without a sentinel
+                    # TOCTOU guard: between our Empty and this liveness
+                    # check the worker may have enqueued its final batch
+                    # (+ sentinel) and exited — drain before concluding
+                    # end-of-stream, or real batches are dropped.
+                    try:
+                        item = self.q.get_nowait()
+                    except queue.Empty:
+                        item = None  # worker died without a sentinel
                 else:
                     continue
             if item is None and self._error is not None:

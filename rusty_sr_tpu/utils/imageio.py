@@ -15,25 +15,38 @@ from PIL import Image
 
 def load_image(path: str) -> np.ndarray:
     """PNG/JPEG -> (H,W,3) f32 sRGB in [0,1] (alpha dropped)."""
-    img = Image.open(path).convert("RGB")
-    return np.asarray(img, dtype=np.float32) / 255.0
+    # `with`: multi-frame formats (GIF/TIFF) keep the fd open past
+    # load(), leaking descriptors across a streamed training epoch.
+    with Image.open(path) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
 
 
 def load_image_u8(path: str) -> np.ndarray:
     """PNG/JPEG -> (H,W,3) u8 (alpha dropped) — for u8-I/O device paths."""
-    return np.asarray(Image.open(path).convert("RGB"))
+    with Image.open(path) as img:
+        return np.asarray(img.convert("RGB"))
+
+
+def _save_u8(path: str, u8: np.ndarray) -> None:
+    """RGBA for PNG (reference parity: .to_rgba().save, src/main.rs:175);
+    plain RGB for formats that reject alpha (JPEG and friends) — an
+    OSError AFTER the whole upscale ran would throw the result away."""
+    img = Image.fromarray(u8, mode="RGB")
+    if path.lower().endswith((".png", ".tif", ".tiff", ".webp")):
+        img = img.convert("RGBA")
+    img.save(path)
 
 
 def save_image_u8(path: str, u8: np.ndarray) -> None:
     """(H,W,3) u8 -> RGBA PNG (matches `save_image` after to_u8)."""
-    Image.fromarray(np.asarray(u8, np.uint8), mode="RGB").convert("RGBA").save(path)
+    _save_u8(path, np.asarray(u8, np.uint8))
 
 
 def save_image(path: str, data: np.ndarray) -> None:
     """(H,W,3) f32 -> clamp [0,1] -> round -> u8 RGBA PNG (src/main.rs:175)."""
     data = np.clip(np.asarray(data, dtype=np.float32), 0.0, 1.0)
     u8 = np.floor(data * 255.0 + 0.5).astype(np.uint8)  # round half away from zero
-    Image.fromarray(u8, mode="RGB").convert("RGBA").save(path)
+    _save_u8(path, u8)
 
 
 def to_u8(data: np.ndarray) -> np.ndarray:

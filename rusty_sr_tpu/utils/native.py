@@ -41,9 +41,21 @@ def _build_and_load():
             # with -march=native and NOT checked in) guarantees the
             # loaded library matches this host's ISA — a stale foreign
             # binary would SIGILL at call time, past this except.
+            # The threading.Lock above is per-process only; multi-host
+            # training and parallel pytest reach here concurrently, so
+            # serialise the build itself with a cross-process flock (the
+            # Makefile's tmp+rename makes the final .so atomic, the lock
+            # stops N compilers racing on the same tmp-free no-op check).
             if os.path.isdir(_NATIVE_DIR):
-                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                               capture_output=True)
+                import fcntl
+                with open(os.path.join(_NATIVE_DIR, ".build.lock"),
+                          "w") as lk:
+                    fcntl.flock(lk, fcntl.LOCK_EX)
+                    try:
+                        subprocess.run(["make", "-C", _NATIVE_DIR],
+                                       check=True, capture_output=True)
+                    finally:
+                        fcntl.flock(lk, fcntl.LOCK_UN)
             lib = ctypes.CDLL(_LIB_PATH)
             lib.sr_gather_tiles.argtypes = [
                 _f32p, _i64, _i64, _i64, _i64, _i64, _i64, _f32p, _f32p, _f32p]
@@ -56,7 +68,17 @@ def _build_and_load():
             lib.rsr_encode.argtypes = [_f32p, _i64, _u8p]
             lib.rsr_encode.restype = None
             _lib = lib
-        except (OSError, subprocess.CalledProcessError):
+        except (OSError, subprocess.CalledProcessError) as e:
+            # No toolchain (or no native/ dir) => quiet numpy fallback by
+            # design; a FAILED compile must be visible — silently running
+            # the O(n) Python tile path would look like a 10-100x perf
+            # regression with no message anywhere.
+            err = getattr(e, "stderr", b"") or b""
+            if err:
+                import sys
+                print("warning: native tileio build failed, using numpy "
+                      f"fallback:\n{err.decode(errors='replace')}",
+                      file=sys.stderr)
             _lib = None
         return _lib
 

@@ -25,8 +25,11 @@ _RETRY_ENV = "_RSR_PLATFORM_RETRY"
 
 # The one failure registration flakes produce; anything else is a real
 # configuration error and must surface immediately, not after 3 respawns.
-_TRANSIENT_MARKERS = ("not in the list of known backends",
-                      "Unable to initialize backend")
+# Matching the generic jax prefix "Unable to initialize backend" alone
+# would drag permanent errors (auth failures, bad plugin paths) through
+# ~60 s of futile respawns — only the known skipped-registration message
+# qualifies as the flake.
+_TRANSIENT_MARKERS = ("not in the list of known backends",)
 
 
 def _respawn_argv() -> list:

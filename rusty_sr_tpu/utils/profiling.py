@@ -61,13 +61,19 @@ def device_timer(fn: Callable, x, *, iters: int = 20, rounds: int = 3,
         # A VALUE fetch, not block_until_ready: the latter can return
         # early on a never-fetched executable (scripts/perf_probe53 —
         # scan-shaped chains lied by 100x; the 1-element fetch is free).
-        leaf = jax.tree.leaves(y)[0]
-        np.asarray(leaf.ravel()[0])
+        # One element of EVERY leaf: a single-leaf fetch would leave
+        # sibling leaves in flight.
+        for leaf in jax.tree.leaves(y):
+            np.asarray(leaf.ravel()[0])
 
     sync(chained(x))  # compile + warm-up + first fetch
     best = float("inf")
     for r in range(rounds):
-        xr = jax.block_until_ready(_perturb(x, r + 1))
+        xr = _perturb(x, r + 1)
+        sync(xr)  # value fetch, not block_until_ready: the perturb is a
+        #           never-fetched executable's output — exactly the case
+        #           probe53 showed block_until_ready can return early on,
+        #           which would leak the perturb+H2D into the timed region
         t0 = time.perf_counter()
         sync(chained(xr))
         best = min(best, (time.perf_counter() - t0) / iters)

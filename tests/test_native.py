@@ -83,3 +83,28 @@ def test_native_decodes_reference_blob(lib_ok):
     flat = native.rsr_decode(data)
     assert flat.shape == (130_459,)
     assert np.array_equal(flat, P.decode_rsr(data))
+
+
+def test_concurrent_native_build_race(tmp_path):
+    """N processes building the native lib from scratch concurrently:
+    the cross-process flock + tmp-and-rename Makefile must give every
+    process a loadable library (pre-fix, two g++ invocations raced on
+    the same output file and one process could dlopen a half-written
+    ELF or SIGBUS on an in-place truncation)."""
+    import os
+    import subprocess
+    import sys
+    from rusty_sr_tpu.utils import native as N
+    so = N._LIB_PATH
+    if not os.path.isdir(os.path.dirname(so)):
+        import pytest
+        pytest.skip("no native/ dir")
+    if os.path.exists(so):
+        os.unlink(so)   # force a rebuild in every child
+    code = ("from rusty_sr_tpu.utils import native; "
+            "import sys; sys.exit(0 if native.available() else 1)")
+    procs = [subprocess.Popen([sys.executable, "-c", code])
+             for _ in range(4)]
+    rcs = [p.wait(timeout=300) for p in procs]
+    assert rcs == [0, 0, 0, 0]
+    assert os.path.exists(so)

@@ -19,7 +19,11 @@ def test_respawns_on_backend_init_failure(monkeypatch):
     import jax
 
     def boom():
-        raise RuntimeError("Unable to initialize backend 'axon': not known")
+        # the real flake signature (module docstring): ONLY this message
+        # respawns; a generic "Unable to initialize backend" prefix is a
+        # permanent error and must fail fast
+        raise RuntimeError("Unable to initialize backend 'axon': Backend "
+                           "'axon' is not in the list of known backends")
 
     calls = {}
 
@@ -73,9 +77,30 @@ def test_gives_up_after_max_retries(monkeypatch):
     import jax
 
     def boom():
-        raise RuntimeError("Unable to initialize backend 'axon': not known")
+        raise RuntimeError("Unable to initialize backend 'axon': Backend "
+                           "'axon' is not in the list of known backends")
 
     monkeypatch.setattr(jax, "devices", boom)
     monkeypatch.setenv(plat._RETRY_ENV, "3")
     with pytest.raises(RuntimeError, match="after 3 respawns"):
         plat.ensure_device_or_respawn(max_retries=3, sleep_s=0.0)
+
+
+def test_generic_init_failure_fails_fast(monkeypatch):
+    """A permanent backend error carrying jax's generic 'Unable to
+    initialize backend' prefix (auth failure, bad plugin path) must NOT
+    respawn — pre-fix it burned ~60s of futile re-execs first."""
+    import jax
+
+    def boom():
+        raise RuntimeError(
+            "Unable to initialize backend 'axon': UNKNOWN: tunnel auth "
+            "failed")
+
+    respawned = {}
+    monkeypatch.setattr(jax, "devices", boom)
+    monkeypatch.setattr(os, "execve",
+                        lambda *a: respawned.setdefault("yes", True))
+    with pytest.raises(RuntimeError, match="tunnel auth failed"):
+        plat.ensure_device_or_respawn(sleep_s=0.0)
+    assert not respawned
