@@ -151,12 +151,8 @@ def _conv_q8(x, q, act, conv):
     xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
     xq = jnp.clip(jnp.round(xp * q[act + "_invs"]) + q[act + "_z"],
                   -127, 127).astype(jnp.int8)
-    n, hp, wp, _ = xq.shape
-    h, wd = hp - 2 * ph, wp - 2 * pw
-    pat = jnp.concatenate([
-        lax.dynamic_slice(xq, (0, dy, dx, 0), (n, h, wd, cin))
-        for dy in range(kh) for dx in range(kw)
-    ], axis=-1)
+    from rusty_sr_tpu.ops.conv import im2col_patches
+    pat = im2col_patches(xq, kh, kw)  # shared patch-order contract
 
     def dot(wq):
         return lax.dot_general(

@@ -121,16 +121,12 @@ def sr_apply_fused(mparams, x: jnp.ndarray, factor: int = 3, *,
                 # 3.4 dB for 1.8% of FLOPs.  Three-term masked bf16 split
                 # of input AND weights (hi*w_hi + hi*w_lo + lo*w_hi as a
                 # single K=225 dot) gives Precision.HIGH-class conv0 on
-                # pure MXU bf16 passes.  MUST use ops.conv.bf16_split:
-                # the convert-based residual is folded to zero by XLA's
-                # allow-excess-precision rewrite (perf_probe29-34).
-                from rusty_sr_tpu.ops.conv import _conv_native, bf16_split
-                hi, lo = bf16_split(h)
-                w_hi, w_lo = bf16_split(w)
-                return _conv_native(
-                    jnp.concatenate([hi, hi, lo], axis=-1),
-                    jnp.concatenate([w_hi, w_lo, w_hi], axis=2),
-                    jnp.float32, None)
+                # pure MXU bf16 passes (ops.conv.conv_split_precise —
+                # bit-level split XLA cannot fold away, probe29-34; its
+                # custom VJP is the plain bf16-cast conv gradient, so
+                # jax.grad over the DEFAULT arguments works).
+                from rusty_sr_tpu.ops.conv import conv_split_precise
+                return conv_split_precise(h, w)
             w = w.astype(compute_dtype)
             h = h.astype(compute_dtype)
         return _conv(h, w)

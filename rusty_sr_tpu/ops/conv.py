@@ -29,27 +29,76 @@ _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
 def bf16_split(v):
     """f32 -> (hi, lo) bf16 pair with v ~= hi + lo (hi exact in bf16, lo
-    rounds the 16-bit residual).  Error model: hi keeps the top 7
-    mantissa bits, so |lo| <= ~2^-8|v|, and rounding lo to bf16 leaves a
-    combined representation error of ~2^-16 relative — f32-mantissa
-    class it is NOT, but far below the single-rounding ~2^-8 and below
-    f32 noise once hi*w dominates the dot (the fast-tier budget this
-    split serves; quality_eval measures +0.016 dB).
+    rounds the residual).  hi is ROUND-TO-NEAREST-EVEN to bf16 (done in
+    integer bits: +0x7FFF + round-to-even tie bit), so |lo| <= 2^-9|v| —
+    half the residual of the earlier truncating mask (measured max
+    |lo|/|v|: 0.0039 vs 0.0078) — and rounding lo to bf16 leaves a
+    combined representation error of ~2^-17 relative: f32-mantissa class
+    it is NOT, but far below the single-rounding ~2^-8 and below f32
+    noise once hi*w dominates the dot (the fast-tier budget this split
+    serves; quality_eval measures +0.016 dB).
 
-    The split is built by BIT-MASKING the low mantissa bits, NOT by
+    The split is built in BIT ARITHMETIC, NOT as
     `v - v.astype(bf16).astype(f32)`: XLA's allow-excess-precision
     simplification legally folds `upcast(downcast(v)) -> v` inside jit,
     which silently turns the convert-based residual into `v - v == 0`
     and collapses any two-term-split conv back to single bf16 rounding
     (measured: mean|lo| == 0 in-net, and lax.optimization_barrier does
-    not stop it — scripts/perf_probe34.py and PERF.md).  The masked form
-    has no convert pair to elide.
+    not stop it — scripts/perf_probe34.py and PERF.md).  The integer
+    form has no convert pair to elide.  `v - hi_f` is exact in f32
+    (Sterbenz: hi within a factor 2 of v).  Finite inputs only (the
+    +0x7FFF carry would corrupt Inf/NaN payloads — weights and image
+    activations are finite by construction).
     """
     import numpy as np
     bits = lax.bitcast_convert_type(v, jnp.uint32)
-    hi_f = lax.bitcast_convert_type(bits & np.uint32(0xFFFF0000),
+    rnd = bits + np.uint32(0x7FFF) + ((bits >> 16) & np.uint32(1))
+    hi_f = lax.bitcast_convert_type(rnd & np.uint32(0xFFFF0000),
                                     jnp.float32)
     return hi_f.astype(jnp.bfloat16), (v - hi_f).astype(jnp.bfloat16)
+
+
+import jax
+
+
+@jax.custom_vjp
+def conv_split_precise(h, w):
+    """Same-conv with the 3-term masked bf16 split of input AND weights
+    (hi*w_hi + hi*w_lo + lo*w_hi as ONE widened dot) — Precision.HIGH-
+    class accuracy on pure single-pass MXU bf16 (PERF.md probe29-34).
+
+    Differentiable: the forward runs the split; the custom VJP is the
+    gradient of the plain bf16-cast conv (the split is a forward-value
+    refinement — its residual terms carry no useful gradient signal, and
+    the raw bit-ops in bf16_split have no JVP, which otherwise surfaces
+    as a cryptic conv dtype error under jax.grad)."""
+    hi, lo = bf16_split(h)
+    w_hi, w_lo = bf16_split(w)
+    return _conv_native(
+        jnp.concatenate([hi, hi, lo], axis=-1),
+        jnp.concatenate([w_hi, w_lo, w_hi], axis=2),
+        jnp.float32, None)
+
+
+def _csp_plain(h, w):
+    # conv2d_same routes bf16 operands to the im2col dot — unlike the
+    # native conv, its transpose accepts the f32 cotangent (this is the
+    # same formulation every AMP training conv differentiates through).
+    return conv2d_same(h.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+
+
+def _csp_fwd(h, w):
+    return conv_split_precise(h, w), (h, w)
+
+
+def _csp_bwd(res, g):
+    import jax as _jax
+    h, w = res
+    _, vjp = _jax.vjp(_csp_plain, h, w)
+    return vjp(g)
+
+
+conv_split_precise.defvjp(_csp_fwd, _csp_bwd)
 
 
 def _conv_native(x, w, accum, precision):
@@ -63,16 +112,25 @@ def _conv_native(x, w, accum, precision):
     )
 
 
+def im2col_patches(xp, kh: int, kw: int):
+    """(N, H+kh-1, W+kw-1, Cin) padded tensor -> (N, H, W, kh*kw*Cin)
+    patches in (row-offset, col-offset, channel) order — exactly the
+    order HWIO `w.reshape(kh*kw*cin, cout)` expects.  The ONE statement
+    of the patch-order contract (shared by the f32/bf16 conv and the
+    int8 quantised conv, which quantises between pad and slice)."""
+    n, hp, wp, cin = xp.shape
+    h, wd = hp - (kh - 1), wp - (kw - 1)
+    return jnp.concatenate([
+        lax.dynamic_slice(xp, (0, dy, dx, 0), (n, h, wd, cin))
+        for dy in range(kh) for dx in range(kw)
+    ], axis=-1)
+
+
 def _conv_im2col(x, w, accum, precision):
     kh, kw, cin, cout = w.shape
     ph, pw = kh // 2, kw // 2
-    n, h, wd, _ = x.shape
     xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
-    patches = [
-        lax.dynamic_slice(xp, (0, dy, dx, 0), (n, h, wd, cin))
-        for dy in range(kh) for dx in range(kw)
-    ]
-    pat = jnp.concatenate(patches, axis=-1)          # (n,h,w, kh*kw*cin)
+    pat = im2col_patches(xp, kh, kw)                 # (n,h,w, kh*kw*cin)
     wf = w.reshape(kh * kw * cin, cout)              # HWIO flat matches patch order
     return jnp.dot(pat, wf, precision=precision, preferred_element_type=accum)
 

@@ -62,12 +62,14 @@ def pack_trunk_weights(params, factor: int = 3, dtype=jnp.bfloat16):
     (conv1/2/3 -> A etc.; cf. models.sr_net.merge_params).  Bias/BeLU
     vectors are packed 2-D (1, N).
     """
-    e = 3 * factor * factor
+    cin = int(jnp.asarray(params["conv0"]).shape[2])  # channels-generic
+    e = cin * factor * factor
     got = int(jnp.asarray(params["conv10"]).shape[-1])
     if got != e:
         raise ValueError(
-            f"params expand to {got} channels but factor {factor} "
-            f"needs {e} (3*factor^2) — wrong weights for this factor")
+            f"params expand to {got} channels but factor {factor} with "
+            f"{cin} input channels needs {e} (C*factor^2) — wrong "
+            "weights for this factor")
 
     def flat(w):
         w = jnp.asarray(w)
@@ -207,10 +209,10 @@ def fused_trunk(packed, x, mask=None, factor: int = 3, *, rh: int = 8,
     ``rh``/``cw`` are the per-program output block dims (cw=0 picks a
     divisor of S near 128 automatically).
     """
-    bsz, side, _, _ = x.shape
+    bsz, side, _, cin = x.shape
     h = HALO
     s = side - 2 * h
-    e = 3 * factor * factor
+    e = cin * factor * factor   # channels-generic (default 3)
     interpret = interpret or jax.default_backend() == "cpu"
     cw = cw or _pick_cw(s)
     assert s % rh == 0 and s % cw == 0, (s, rh, cw)
@@ -243,8 +245,8 @@ def fused_trunk(packed, x, mask=None, factor: int = 3, *, rh: int = 8,
         kernel,
         grid=(bsz, nrb, ncb),
         in_specs=[
-            pl.BlockSpec((None, None, None, slab_r, slab_c, 3), slab_map,
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, None, slab_r, slab_c, cin),
+                         slab_map, memory_space=pltpu.VMEM),
             pl.BlockSpec(m_block, slab_map, memory_space=pltpu.VMEM),
             *w_specs, *vec_specs,
         ],

@@ -135,7 +135,13 @@ def flat_to_pytree(flat: np.ndarray, factor: int, width: int = 32, channels: int
     off = 0
     for name, shape in specs:
         cnt = int(np.prod(shape))
-        block = np.asarray(flat[off:off + cnt], dtype=np.float32).reshape(shape)
+        # copy=True: without it 1-D leaves (biases, BeLU slopes) would be
+        # live VIEWS into the caller's flat vector while the transposed
+        # 4-D conv leaves are copies — mutating the flat buffer afterwards
+        # (weight averaging, reusing a decode buffer) would silently
+        # produce a mixed-state tree.
+        block = np.array(flat[off:off + cnt], dtype=np.float32,
+                         copy=True).reshape(shape)
         if len(shape) == 4:
             block = np.ascontiguousarray(block.transpose(1, 2, 3, 0))  # OHWI -> HWIO
         tree[name] = block

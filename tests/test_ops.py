@@ -200,3 +200,46 @@ class TestBf16Split:
         v = jnp.asarray((rng.integers(0, 256, (64, 64)) / 255.0)
                         .astype(np.float32))
         assert float(lo_mag(v)) > 1e-4
+
+
+class TestBf16SplitRN:
+    def test_hi_is_round_to_nearest(self):
+        import jax
+        """hi must equal the round-to-nearest bf16 cast (the integer
+        +0x7FFF+tie trick): truncation doubled |lo| and with it both
+        dropped-cross-term and lo-rounding errors of the split conv."""
+        from rusty_sr_tpu.ops.conv import bf16_split
+        rng = np.random.default_rng(5)
+        v = jnp.asarray((rng.standard_normal(50000)
+                         * np.exp(rng.uniform(-18, 6, 50000))
+                         ).astype(np.float32))
+        hi, lo = jax.jit(bf16_split)(v)
+        np.testing.assert_array_equal(
+            np.asarray(hi.astype(jnp.float32)),
+            np.asarray(v.astype(jnp.bfloat16).astype(jnp.float32)))
+        rel = np.abs(np.asarray(lo, np.float32)) / np.maximum(
+            np.abs(np.asarray(v)), 1e-30)
+        assert rel.max() <= 2.0 ** -8  # RN bound (truncation hit 2^-7)
+
+
+def test_sr_apply_fused_grad_under_defaults():
+    """jax.grad over sr_apply_fused with DEFAULT arguments (compute_dtype
+    set, conv0_split=True) must work: conv_split_precise carries a custom
+    VJP (plain bf16-cast conv gradient) instead of surfacing a cryptic
+    conv dtype error from the raw bit-ops."""
+    import jax
+    from rusty_sr_tpu.models.sr_net import merge_params, sr_apply_fused
+    from rusty_sr_tpu import params as P
+    mp = merge_params(jax.tree.map(jnp.asarray, P.init_params(0, 3)))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((1, 12, 12, 3)).astype(np.float32))
+
+    def loss(p):
+        return jnp.mean(sr_apply_fused(p, x, 3,
+                                       compute_dtype=jnp.bfloat16) ** 2)
+
+    import jax
+    g = jax.jit(jax.grad(loss))(mp)
+    flat = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(t, np.float32)).all() for t in flat)
+    assert any(np.abs(np.asarray(t, np.float32)).max() > 0 for t in flat)

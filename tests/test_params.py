@@ -89,3 +89,19 @@ def test_init_params_shapes_and_scheme():
     # MSRA std: conv0 gain 1.0 over fan_in 75; conv1 gain 0.1 over 800
     assert abs(tree["conv0"].std() - np.sqrt(2 / 75)) < 0.02
     assert abs(tree["conv1"].std() - 0.1 * np.sqrt(2 / 800)) < 0.002
+
+
+def test_flat_to_pytree_leaves_own_their_memory():
+    """Every leaf must be a COPY: pre-fix, 1-D leaves (biases, BeLU
+    slopes) were live views into the caller's flat vector while conv
+    leaves were transposed copies — mutating the flat buffer afterwards
+    produced a silently mixed-state tree."""
+    import numpy as np
+    from rusty_sr_tpu.params import flat_to_pytree, pytree_to_flat, init_params
+    flat = pytree_to_flat(init_params(0, 3), 3)
+    tree = flat_to_pytree(flat, 3)
+    before = {k: np.array(v) for k, v in tree.items()}
+    assert not any(np.shares_memory(v, flat) for v in tree.values())
+    flat[:] = -1.0
+    for k, v in tree.items():
+        np.testing.assert_array_equal(v, before[k], err_msg=k)

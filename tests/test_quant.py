@@ -131,3 +131,34 @@ def test_int8_cache_reused_across_batches(anime):
     b = tiled_sr_batch(anime, [img, other], tile=60, engine="int8",
                        int8_cache=cache)[0]
     np.testing.assert_array_equal(a, b)
+
+
+def test_act_minmax_locksteps_with_fused_forward(anime):
+    """Calibration validity hinges on _act_minmax computing the SAME
+    f/l1/l2 activations as the real merged forward — pin the lockstep by
+    recording the inputs of sr_apply_fused's convs (convA/B/C consume
+    exactly f/l1/l2) and comparing ranges."""
+    from rusty_sr_tpu.models.quant import _act_minmax
+    from rusty_sr_tpu.models.sr_net import merge_params, sr_apply_fused
+    from rusty_sr_tpu.ops.conv import conv2d_same
+    mp = merge_params({k: jnp.asarray(v) for k, v in anime.items()})
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, 14, 18, 3)).astype(np.float32))
+    rec = []
+
+    def conv_rec(h, w):
+        rec.append(h)
+        return conv2d_same(h, w)
+
+    sr_apply_fused(mp, x, 3, conv_fn=conv_rec, round_output=False)
+    mm = jax.tree.map(np.asarray, _act_minmax(mp, x))
+    # rec = inputs of [conv0, convA, convB, convC, conv10]
+    #     = [x, f, l1, l2, l3]
+    for key, act in zip(("f", "l1", "l2"), rec[1:4]):
+        a = np.asarray(act)
+        np.testing.assert_allclose(
+            mm[key][0], np.minimum(a.min(axis=(0, 1, 2)), 0.0),
+            rtol=1e-6, atol=1e-7, err_msg=key)
+        np.testing.assert_allclose(
+            mm[key][1], np.maximum(a.max(axis=(0, 1, 2)), 0.0),
+            rtol=1e-6, atol=1e-7, err_msg=key)
