@@ -8,10 +8,13 @@ environment wins over ours, so we use jax.config directly.
 
 import os
 
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+# Unconditional APPEND (setdefault would no-op whenever the environment
+# already exports XLA_FLAGS, silently dropping the 8-device flag and
+# skipping every mesh/sharding test with a green-looking run).
+if "--xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
 
 import jax  # noqa: E402

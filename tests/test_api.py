@@ -17,11 +17,27 @@ def test_upscale_builtin_parity():
     assert psnr(np.clip(out, 0, 1), gold) > 55.0
 
 
-def test_upscale_param_cache_reuse():
+def test_upscale_param_cache_reuse(monkeypatch):
+    """The second call must HIT the param cache — determinism of the two
+    outputs alone cannot fail when the cache regresses to reloading the
+    weights every call."""
+    from rusty_sr_tpu import api as A
+    from rusty_sr_tpu import params as P
+    A._PARAM_CACHE.clear()
+    loads = {"n": 0}
+    real = P.load_builtin
+
+    def counting(*a, **k):
+        loads["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(P, "load_builtin", counting)
+    monkeypatch.setattr(A.params_lib, "load_builtin", counting)
     lr = RNG.random((12, 12, 3), dtype=np.float32)
     a = rusty_sr_tpu.upscale(lr, weights="anime", tile=16)
     b = rusty_sr_tpu.upscale(lr, weights="anime", tile=16)
     np.testing.assert_array_equal(a, b)
+    assert loads["n"] == 1, f"weights decoded {loads['n']}x for 2 calls"
 
 
 def test_tiny_image():

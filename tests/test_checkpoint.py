@@ -188,3 +188,30 @@ def test_resume_incompatible_checkpoint_raises_cleanly(tmp_path):
     with pytest.raises(RuntimeError, match="incompatible|unreadable"):
         train_loop(cfg, iter([]), resume_from=str(tmp_path),
                    log=lambda s: None)
+
+
+def test_device_timer_never_uses_block_until_ready(monkeypatch):
+    """device_timer's sync must be a VALUE fetch: block_until_ready can
+    return early on never-fetched executables (perf_probe53 — the
+    retracted 'MFU 700%' readings came from exactly that).  Bomb the
+    API and prove the timer completes without touching it."""
+    import time as _time
+    from rusty_sr_tpu.utils.profiling import device_timer
+
+    def bomb(*a, **k):
+        raise AssertionError("device_timer called block_until_ready")
+
+    monkeypatch.setattr(jax, "block_until_ready", bomb)
+    w = jnp.asarray(np.random.default_rng(0)
+                    .random((64, 64)).astype(np.float32))
+    dt = device_timer(lambda x: x @ w, jnp.ones((64, 64), jnp.float32),
+                      iters=4, rounds=2)
+    assert dt > 0.0
+
+    # per-pass time must not scale with iters (the chain divides by
+    # iters; forgetting to would show a ~4x jump here)
+    d4 = device_timer(lambda x: x @ w, jnp.ones((64, 64), jnp.float32),
+                      iters=4, rounds=2)
+    d16 = device_timer(lambda x: x @ w, jnp.ones((64, 64), jnp.float32),
+                       iters=16, rounds=2)
+    assert d16 < d4 * 3.0, (d4, d16)

@@ -370,3 +370,50 @@ def test_watch_retries_after_mtime_change(tmp_path):
         proc.send_signal(2)  # SIGINT == Ctrl-C: clean watcher shutdown
         proc.wait(timeout=60)
     assert proc.returncode == 0, logf.read_text()
+
+
+def test_fast_flag_reaches_all_three_surfaces(tmp_path):
+    """--fast must wire compute_dtype=bf16 through upscale, folder mode
+    and watch — each surface sets it independently (cli.py), so each
+    must be pinned byte-for-byte against tiled_sr's fast tier AND shown
+    to differ from the exact tier (otherwise a dropped flag would pass
+    every output-validity test while making the headline fast tier
+    unreachable from the CLI)."""
+    import os
+    import jax.numpy as jnp
+    from rusty_sr_tpu import load_builtin
+    from rusty_sr_tpu.parallel.tiling import tiled_sr
+    from rusty_sr_tpu.utils.imageio import save_image, load_image_u8
+    rng = np.random.default_rng(11)
+    img_f = rng.random((40, 34, 3)).astype(np.float32)
+    src = tmp_path / "in.png"
+    save_image(str(src), img_f)
+    u8 = load_image_u8(str(src))
+    import jax
+    tree = jax.tree.map(jnp.asarray, load_builtin("anime"))
+    want_fast = tiled_sr(tree, u8, 3, tile=16, compute_dtype=jnp.bfloat16)
+    want_exact = tiled_sr(tree, u8, 3, tile=16)
+    assert np.abs(want_fast.astype(int) - want_exact.astype(int)).max() > 0
+
+    # single-image surface
+    out1 = tmp_path / "o1.png"
+    assert cli.main(["-p", "anime", "--tile", "16", "--fast",
+                     str(src), str(out1)]) == 0
+    np.testing.assert_array_equal(load_image_u8(str(out1)), want_fast)
+
+    # folder surface
+    fdir = tmp_path / "fold"
+    fdir.mkdir()
+    save_image(str(fdir / "a.png"), img_f)
+    odir = tmp_path / "fo"
+    assert cli.main(["-p", "anime", "--tile", "16", "--fast",
+                     str(fdir), str(odir)]) == 0
+    np.testing.assert_array_equal(load_image_u8(str(odir / "a.png")),
+                                  want_fast)
+
+    # watch surface (--once)
+    wdir = tmp_path / "wo"
+    assert cli.main(["watch", "-p", "anime", "--tile", "16", "--fast",
+                     "--once", str(fdir), str(wdir)]) == 0
+    np.testing.assert_array_equal(load_image_u8(str(wdir / "a.png")),
+                                  want_fast)

@@ -175,7 +175,12 @@ def test_two_process_multistep_dispatch(tmp_path):
             p1.kill()
     assert p0.returncode == 0, f"proc0:\n{p0.stdout}\n{p0.stderr}"
     assert p1.returncode == 0, f"proc1:\n{out1}"
-    # checkpoint log lines at steps 1, 2 and 4 (step 4 ends a 2-step
-    # dispatch group; step 3 has no cadence)
+    # checkpoint log lines must appear at steps 1, 2 and 4 EXACTLY
+    # (step 4 ends a 2-step dispatch group; step 3 has no cadence) —
+    # 'Done' + file size alone cannot catch --ckpt_every being ignored
+    # or the grouped dispatch skipping a cadence boundary
+    for s in (1, 2, 4):
+        assert f"step {s}\tloss" in p0.stdout, p0.stdout
+    assert "step 3\tloss" not in p0.stdout
     assert "Done" in p0.stdout
     assert out.stat().st_size == 1_043_676

@@ -92,19 +92,29 @@ def test_concurrent_native_build_race(tmp_path):
     the same output file and one process could dlopen a half-written
     ELF or SIGBUS on an in-place truncation)."""
     import os
+    import shutil
     import subprocess
     import sys
+    import pytest
     from rusty_sr_tpu.utils import native as N
     so = N._LIB_PATH
     if not os.path.isdir(os.path.dirname(so)):
-        import pytest
         pytest.skip("no native/ dir")
+    if shutil.which("g++") is None and shutil.which("c++") is None:
+        # without a toolchain the children cannot rebuild, and deleting
+        # the prebuilt .so would strip the lib from later runs too
+        pytest.skip("no C++ toolchain")
     if os.path.exists(so):
         os.unlink(so)   # force a rebuild in every child
-    code = ("from rusty_sr_tpu.utils import native; "
-            "import sys; sys.exit(0 if native.available() else 1)")
-    procs = [subprocess.Popen([sys.executable, "-c", code])
-             for _ in range(4)]
-    rcs = [p.wait(timeout=300) for p in procs]
-    assert rcs == [0, 0, 0, 0]
-    assert os.path.exists(so)
+    try:
+        code = ("from rusty_sr_tpu.utils import native; "
+                "import sys; sys.exit(0 if native.available() else 1)")
+        procs = [subprocess.Popen([sys.executable, "-c", code])
+                 for _ in range(4)]
+        rcs = [p.wait(timeout=300) for p in procs]
+        assert rcs == [0, 0, 0, 0]
+        assert os.path.exists(so)
+    finally:
+        if not os.path.exists(so):  # leave the repo with its lib built
+            subprocess.run(["make", "-C", os.path.dirname(so)],
+                           capture_output=True)

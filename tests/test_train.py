@@ -454,3 +454,94 @@ def test_final_params_written_to_rsr_off_cadence(tmp_path):
     for k in final:
         np.testing.assert_array_equal(np.asarray(got[k]),
                                       np.asarray(final[k]))
+
+
+def test_multi_step_dispatch_actually_groups(monkeypatch):
+    """Spy on both step factories: with steps_per_dispatch=4 and
+    checkpoint_every=4, a 9-step run must execute steps 5-8 as ONE
+    multi-dispatch over a (4,B,...) stack and the rest as singles —
+    equivalence-with-baseline tests alone cannot catch the feature
+    silently regressing to per-step dispatch."""
+    from rusty_sr_tpu.train import loop as L
+    calls = {"multi": [], "single": 0}
+    real_multi = L.make_train_step_multi
+    real_single = L.make_train_step
+
+    def spy_multi(cfg, n, mesh=None, **kw):
+        fn, opt = real_multi(cfg, n, mesh, **kw)
+
+        def wrapped(p, s, hrs):
+            calls["multi"].append(int(hrs.shape[0]))
+            return fn(p, s, hrs)
+        return wrapped, opt
+
+    def spy_single(cfg, mesh=None, **kw):
+        fn, opt = real_single(cfg, mesh, **kw)
+
+        def wrapped(p, s, hr):
+            calls["single"] += 1
+            return fn(p, s, hr)
+        return wrapped, opt
+
+    monkeypatch.setattr(L, "make_train_step_multi", spy_multi)
+    monkeypatch.setattr(L, "make_train_step", spy_single)
+    cfg = TrainConfig(crop=12, checkpoint_every=4, steps_per_dispatch=4)
+    rng = np.random.default_rng(7)
+    batches = [rng.random((cfg.batch_size, cfg.crop, cfg.crop, 3)
+                          ).astype(np.float32) for _ in range(9)]
+    L.train_loop(cfg, iter(batches), max_steps=9, log=lambda s: None)
+    # steps 1-4 single (groups start at step%spd==0 past step 1),
+    # steps 5-8 one 4-step dispatch, step 9 single (tail < spd)
+    assert calls["multi"] == [4]
+    assert calls["single"] == 5
+
+
+def test_l1_loss_closed_form():
+    """loss_kind='l1' must be mean|sr(lr(hr)) - hr| (+ the L2 reg term)
+    — 'L1 > MSE on sub-1 residuals' alone cannot catch a mis-reduction
+    (sum instead of mean, wrong tensor)."""
+    import jax
+    from rusty_sr_tpu.models.sr_net import make_lr_from_hr
+    from rusty_sr_tpu import sr_apply
+    tree = jax.tree.map(jnp.asarray, P.init_params(1, 3))
+    hr = jnp.asarray(_hr_batch(2, 12))
+    cfg = TrainConfig(crop=12, loss_kind="l1")
+    loss, (mse,) = loss_fn(tree, hr, cfg)[0], (loss_fn(tree, hr, cfg)[1],)
+    sr = sr_apply(tree, make_lr_from_hr(hr, 3), 3)
+    want_l1 = float(jnp.mean(jnp.abs(sr - hr)))
+    reg = 1e-6 * 0.5 * sum(float(jnp.sum(jnp.square(v)))
+                           for v in tree.values())
+    np.testing.assert_allclose(float(loss), want_l1 + reg, rtol=1e-5)
+
+
+def test_supplier_pixels_roundtrip_and_crops_are_windows(tmp_path):
+    """Pixel CONTENT gates for the data pipeline: the sequential
+    supplier must round-trip the saved pixels, and every random crop
+    must be a contiguous sub-window of the source image (shape/dtype
+    checks alone pass with channel-swapped, transposed, or zeroed
+    crops)."""
+    from rusty_sr_tpu.train.data import ImageFolderSupplier
+    from rusty_sr_tpu.utils.imageio import save_image
+    # a gradient image where every (y, x) has a unique (R, G) signature
+    h, w = 40, 56
+    img = np.zeros((h, w, 3), np.float32)
+    img[..., 0] = np.arange(h)[:, None] / 255.0
+    img[..., 1] = np.arange(w)[None, :] / 255.0
+    img[..., 2] = 0.5
+    d = tmp_path / "ti"
+    d.mkdir()
+    save_image(str(d / "g.png"), img)
+
+    seq = ImageFolderSupplier(str(d), shuffle=False, crop=None)
+    got = next(iter(seq))
+    np.testing.assert_allclose(got, img, atol=1 / 255.0)
+
+    sup = ImageFolderSupplier(str(d), crop=(16, 16), shuffle=True, seed=3)
+    it = iter(sup)
+    for _ in range(4):
+        c = next(it)
+        assert c.shape == (16, 16, 3)
+        y0 = round(float(c[0, 0, 0]) * 255.0)
+        x0 = round(float(c[0, 0, 1]) * 255.0)
+        np.testing.assert_allclose(
+            c, img[y0:y0 + 16, x0:x0 + 16], atol=1.1 / 255.0)
