@@ -322,3 +322,27 @@ def test_degenerate_image_sizes(anime_params, shape):
                     compute_dtype=jnp.bfloat16)
     assert fast.shape == wq.shape
     assert np.abs(fast.astype(int) - wq.astype(int)).max() <= 1
+
+
+def test_geometry_fuzz_exact_tier(anime_params):
+    """Seeded mini-fuzz over (H, W, tile, chunk) geometry: the u8 exact
+    tier must stay within 1 code of the whole-image forward (the
+    rounding-tie class the golden gate allows) at EVERY geometry —
+    a 200-case offline sweep found nothing above 1 code; this pins a
+    representative slice of it in-suite."""
+    rng = np.random.default_rng(42)
+    whole = jax.jit(lambda x: sr_apply(anime_params, x, 3))
+    for _ in range(8):
+        h = int(rng.integers(2, 60))
+        w = int(rng.integers(2, 60))
+        tile = int(rng.integers(8, 33))
+        chunk = int(rng.integers(1, 7))
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        ref = np.asarray(whole(
+            jnp.asarray(img.astype(np.float32) / 255.0)[None])[0])
+        refq = np.clip(np.floor(np.clip(ref, 0, 1) * 255 + 0.5),
+                       0, 255).astype(np.uint8)
+        out = tiled_sr(anime_params, img, 3, tile=tile, chunk=chunk)
+        assert out.shape == (h * 3, w * 3, 3)
+        d = np.abs(out.astype(int) - refq.astype(int)).max()
+        assert d <= 1, (h, w, tile, chunk, d)
