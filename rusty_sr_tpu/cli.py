@@ -137,8 +137,9 @@ def build_train_parser() -> argparse.ArgumentParser:
                    help="train-step forward form: 'merged' (wide convA/"
                         "B/C, the TPU-first default), 'flat' (literal "
                         "reference topology), 'packed' (bf16 space-to-"
-                        "depth trunk — the inference fast-tier packing, "
-                        "an AMP-class tier)")
+                        "depth trunk — the inference fast-tier packing; "
+                        "AMP-class quality, ~1.9x over --amp at batch "
+                        ">= 32 and ~even at batch 4 — PERF.md probe50)")
     t.add_argument("--precision", choices=["highest", "high"],
                    default="highest",
                    help="f32 conv precision: 'highest' (6-pass, "
