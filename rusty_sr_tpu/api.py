@@ -101,6 +101,7 @@ def train_folder(folder: str, *, steps: Optional[int] = None,
                  resume_from: Optional[str] = None,
                  amp: bool = False, precision: str = "highest",
                  steps_per_dispatch: Optional[int] = None,
+                 data_workers: Optional[int] = None,
                  seed: int = 0):
     """Train on an image folder with the reference protocol; returns params.
 
@@ -108,9 +109,10 @@ def train_folder(folder: str, *, steps: Optional[int] = None,
     (params + Adam state + step); ``amp`` is the bf16 mixed-precision
     tier (~2x faster, PERF.md); ``precision`` 'highest' | 'high';
     ``steps_per_dispatch`` scans N optimizer steps inside one device
-    dispatch (default 10, clamped to the ckpt/val cadences)."""
-    from rusty_sr_tpu.train.data import (
-        ImageFolderSupplier, PrefetchBuffer, list_images)
+    dispatch (default 10, clamped to the ckpt/val cadences);
+    ``data_workers`` sizes the host decode/crop pool (default: CPU
+    count, capped — see train.data.CropPipeline)."""
+    from rusty_sr_tpu.train.data import CropPipeline, list_images
     from rusty_sr_tpu.train.loop import TrainConfig, train_loop
     from rusty_sr_tpu.utils.imageio import load_image
 
@@ -120,9 +122,9 @@ def train_folder(folder: str, *, steps: Optional[int] = None,
         if steps_per_dispatch < 1:
             raise ValueError("steps_per_dispatch must be >= 1")
         cfg.steps_per_dispatch = steps_per_dispatch
-    sup = ImageFolderSupplier(folder, recurse=recurse,
-                              crop=(cfg.crop, cfg.crop), seed=seed)
-    buf = PrefetchBuffer(sup, depth=128, batch_size=cfg.batch_size)
+    buf = CropPipeline(folder, recurse=recurse, crop=(cfg.crop, cfg.crop),
+                       batch_size=cfg.batch_size, seed=seed,
+                       workers=data_workers)
 
     start_tree = None
     if isinstance(start, str):

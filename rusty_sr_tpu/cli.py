@@ -163,6 +163,10 @@ def build_train_parser() -> argparse.ArgumentParser:
                         "clamped to divide the ckpt/val cadences; 1 "
                         "disables — per-step host dispatch costs ~30%% of "
                         "a step at the reference batch, PERF.md probe47)")
+    t.add_argument("--data_workers", type=int, default=None, metavar="N",
+                   help="host decode/crop worker threads feeding the "
+                        "device (default: CPU count, capped at 16); the "
+                        "batch stream is bit-identical for any N")
     t.add_argument("--coordinator", metavar="HOST:PORT", default=None,
                    help="multi-host training: coordinator address for "
                         "jax.distributed (run the same command on every "
@@ -575,7 +579,7 @@ def run_train(args) -> int:
               file=sys.stderr)
         return 2
     from rusty_sr_tpu import params as params_lib
-    from rusty_sr_tpu.train.data import ImageFolderSupplier, PrefetchBuffer
+    from rusty_sr_tpu.train.data import CropPipeline
     from rusty_sr_tpu.train.loop import TrainConfig, train_loop
     from rusty_sr_tpu.utils.imageio import load_image
     from rusty_sr_tpu.train.data import list_images
@@ -642,22 +646,24 @@ def run_train(args) -> int:
         return 2
 
     try:
-        # Each host's supplier stripes the file list by process index
+        # Production feed (train.data.CropPipeline): decoded-image cache
+        # + N-worker crop pool, deterministic for any worker count.
+        # Each host stripes the file list by process index
         # (train.data.shard_files_for_host) and feeds its LOCAL slice of
         # the global batch; train_loop assembles the global array.
-        supplier = ImageFolderSupplier(args.TRAINING_FOLDER,
-                                       recurse=args.recurse,
-                                       crop=(cfg.crop, cfg.crop), shuffle=True,
-                                       seed=jax.process_index())
+        buf = CropPipeline(args.TRAINING_FOLDER, recurse=args.recurse,
+                           crop=(cfg.crop, cfg.crop),
+                           batch_size=cfg.batch_size // nproc,
+                           seed=jax.process_index(),
+                           workers=getattr(args, "data_workers", None),
+                           shard_across_hosts=nproc > 1)
     except (ValueError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
     if nproc > 1:
         print(f"multi-host: process {jax.process_index()}/{nproc}, "
-              f"{supplier.epoch_size()} training files in this host's "
+              f"{len(buf.files)} training files in this host's "
               "stripe", flush=True)
-    buf = PrefetchBuffer(supplier, depth=128,
-                         batch_size=cfg.batch_size // nproc)
 
     start = None
     if args.start:

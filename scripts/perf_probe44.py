@@ -23,10 +23,11 @@ import jax.numpy as jnp
 
 from rusty_sr_tpu import load_builtin
 from rusty_sr_tpu.parallel.tiling import (HALO, _tile_kernel_packed,
-                                          _tile_kernel_packed_ps,
                                           packed_trunk_params,
-                                          packed_trunk_params_ps,
                                           trunk_params)
+# the measured-loser ps kernels moved here (VERDICT r3 hygiene)
+from probe44_ps_kernels import (_tile_kernel_packed_ps,  # noqa: E402
+                                packed_trunk_params_ps)
 
 ITERS = 10
 

@@ -213,6 +213,12 @@ def main():
         return best
 
     def body_prod(batch):
+        # NOTE (ADVICE r3): the production invariant zero == edge * mask
+        # is intentionally NOT held in these timing arms — throughput is
+        # data-independent (same graph, same shapes), and deriving the
+        # buffers from the carry is what keeps the protocol honest
+        # (nothing loop-invariant to hoist).  Do not read outputs here
+        # as production pixels.
         def body(i, c):
             e = jnp.bitwise_xor(c, jnp.uint8(1))
             mm = jnp.bitwise_or(c[:, :, :, :1] >> 7, jnp.uint8(1))

@@ -31,11 +31,14 @@ def bench(cfg, label, batch, crop=192, rounds=3):
     params = jax.tree.map(jnp.asarray, P.init_params(0, 3))
     opt = make_optimizer(cfg)
     st = opt.init(params)
+    # pool is a jit ARGUMENT (not a closure): a closed-over (4,B,192,192,3)
+    # f32 would be baked into the executable as a ~450 MB constant at
+    # batch 256, inflating compile/load and HBM (ADVICE r3).
     pool = jnp.asarray(np.random.default_rng(0).random(
         (4, batch, crop, crop, 3), dtype=np.float32))
 
     @jax.jit
-    def chained(params, st, bump):
+    def chained(params, st, pool, bump):
         def body(i, c):
             p, s = c
             hr = pool[i % 4] * (1.0 + 1e-6 * (i + bump))
@@ -46,19 +49,22 @@ def bench(cfg, label, batch, crop=192, rounds=3):
         return jax.lax.fori_loop(0, ITERS, body, (params, st))
 
     t0 = time.perf_counter()
-    out = chained(params, st, 0)
+    out = chained(params, st, pool, 0)
     float(out[0]["conv0"][0, 0, 0, 0])          # value-fetch sync (probe53)
     comp = time.perf_counter() - t0
     best = float("inf")
     for r in range(rounds):
         t0 = time.perf_counter()
-        out = chained(out[0], out[1], r + 1)
+        out = chained(out[0], out[1], pool, r + 1)
         float(out[0]["conv0"][0, 0, 0, 0])
         best = min(best, (time.perf_counter() - t0) / ITERS)
     flops = 3 * 2 * MAC_PER_LR_PX * batch * (crop // 3) ** 2
+    # MFU is against the bf16 MXU peak for EVERY arm (incl. merged-f32,
+    # which runs multi-pass over the same units) — a cross-arm
+    # utilisation yardstick, not a per-dtype roofline.
     print(f"{label:12s} batch {batch:3d}: {best * 1e3:8.3f} ms/step  "
           f"{batch / best:8.1f} samples/s  "
-          f"MFU {100 * flops / best / PEAK_BF16:5.2f}%  "
+          f"MFU(bf16pk) {100 * flops / best / PEAK_BF16:5.2f}%  "
           f"(compile {comp:.0f}s)", flush=True)
 
 

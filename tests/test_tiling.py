@@ -235,10 +235,16 @@ def test_phase_split_packed_matches_dense_packed(anime_params, cartoon):
     stage, 1.78x MACs) computes the same products as the dense packed
     form (one K=1152 dot, 4x MACs) — only the f32 accumulation grouping
     differs, so outputs agree to <= 1 u8 code (measured: 2e-5 of pixels
-    differ by exactly 1)."""
+    differ by exactly 1).  The ps kernels live with their probe under
+    scripts/ (probe44 measured dead end; VERDICT r3 hygiene)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from probe44_ps_kernels import (_tile_kernel_packed_ps,
+                                    packed_trunk_params_ps)
     from rusty_sr_tpu.parallel.tiling import (
-        _gather_u8, _tile_kernel_packed, _tile_kernel_packed_ps,
-        packed_trunk_params, packed_trunk_params_ps, trunk_params)
+        _gather_u8, _tile_kernel_packed, packed_trunk_params, trunk_params)
     tp = trunk_params(anime_params)
     img = (np.asarray(cartoon) * 255).round().astype(np.uint8)
     zt, et, mt = _gather_u8(img, 50, HALO, 3, 2)
