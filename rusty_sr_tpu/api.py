@@ -124,7 +124,8 @@ def train_folder(folder: str, *, steps: Optional[int] = None,
         cfg.steps_per_dispatch = steps_per_dispatch
     buf = CropPipeline(folder, recurse=recurse, crop=(cfg.crop, cfg.crop),
                        batch_size=cfg.batch_size, seed=seed,
-                       workers=data_workers)
+                       workers=data_workers,
+                       out_dtype=np.uint8)   # 4x less H2D; device /255
 
     start_tree = None
     if isinstance(start, str):

@@ -204,15 +204,6 @@ def run_upscale(args) -> int:
 
     import os
     if os.path.isdir(args.INPUT_FILE):
-        if getattr(args, "mesh", None):
-            # Folder mode batches tiles across images on ONE device; a
-            # silent fallback would hand a user who asked for N-chip
-            # sharding single-chip throughput with no diagnostic.
-            print("error: --mesh is not supported in folder mode "
-                  "(batch tiles across images run single-device); "
-                  "upscale images individually for sharded inference",
-                  file=sys.stderr)
-            return 2
         return _run_upscale_folder(args)
 
     try:
@@ -393,6 +384,12 @@ def _run_upscale_folder(args) -> int:
         return 1
 
     if args.downsample or args.parameters == "bilinear":
+        if getattr(args, "mesh", None):
+            # A silent single-device fallback would hand a user who
+            # asked for N-chip sharding one chip with no diagnostic.
+            print("error: --mesh is not supported for the bilinear/"
+                  "downsample folder paths", file=sys.stderr)
+            return 2
         # non-neural paths: per-image loop over the ONE fixed-shape
         # tile executable (whole-image jit would recompile per size)
         from rusty_sr_tpu.parallel.tiling import tiled_simple
@@ -427,11 +424,24 @@ def _run_upscale_folder(args) -> int:
         print(f"error: folder mode supports --engine xla/int8 "
               f"(got {engine!r})", file=sys.stderr)
         return 2
-    print(f"Upscaling {len(images)} images (tiles batched across images)...",
-          end="", flush=True)
+    mesh = None
+    if getattr(args, "mesh", None):
+        if engine != "xla":
+            print(f"error: --mesh supports the 'xla' engine only "
+                  f"(got {engine!r})", file=sys.stderr)
+            return 2
+        try:
+            mesh = _parse_mesh(args.mesh)
+        except (ValueError, AssertionError) as e:
+            print(f"error: bad --mesh {args.mesh!r}: {e}", file=sys.stderr)
+            return 2
+    print(f"Upscaling {len(images)} images (tiles batched across images"
+          + (f", sharded over {mesh.shape['data']} devices" if mesh else "")
+          + ")...", end="", flush=True)
     outs = tiled_sr_batch(
         tree, images, args.factor, tile=args.tile, chunk=args.chunk,
-        compute_dtype=jnp.bfloat16 if args.fast else None, engine=engine)
+        compute_dtype=jnp.bfloat16 if args.fast else None, engine=engine,
+        mesh=mesh)
     print(" Writing files...", end="", flush=True)
     for out, i in zip(outs, keep):
         save_image_u8(out_paths[i], out)
@@ -465,6 +475,16 @@ def build_watch_parser() -> argparse.ArgumentParser:
                    help="seconds between folder scans")
     w.add_argument("--once", action="store_true",
                    help="process the current folder contents and exit")
+    w.add_argument("--mesh", metavar="SPEC", default=None,
+                   help="shard each poll batch's tiles over a device "
+                        "mesh: 'data=N' or just 'N' (batch-of-tiles "
+                        "data parallelism; 'xla' engine only)")
+    w.add_argument("--metrics", metavar="FILE", default=None,
+                   help="append JSONL serving metrics per poll batch "
+                        "(images, HR MPix, MPix/s, latency, failures)")
+    w.add_argument("--trace", metavar="DIR", default=None,
+                   help="capture an XLA profiler trace of the run to DIR "
+                        "(pair with --once for a bounded trace)")
     w.add_argument("--platform", choices=["tpu", "cpu"], default=None)
     return w
 
@@ -491,10 +511,22 @@ def run_watch(args) -> int:
         return 1
     tree = {k: jnp.asarray(v) for k, v in tree.items()}
     compute_dtype = jnp.bfloat16 if args.fast else None
+    mesh = None
+    if getattr(args, "mesh", None):
+        if args.engine != "xla":
+            print(f"error: --mesh supports the 'xla' engine only "
+                  f"(got {args.engine!r})", file=sys.stderr)
+            return 2
+        try:
+            mesh = _parse_mesh(args.mesh)
+        except (ValueError, AssertionError) as e:
+            print(f"error: bad --mesh {args.mesh!r}: {e}", file=sys.stderr)
+            return 2
     if not os.path.isdir(args.INPUT_DIR):
         print(f"error: {args.INPUT_DIR!r} is not a folder", file=sys.stderr)
         return 1
     os.makedirs(args.OUTPUT_DIR, exist_ok=True)
+    mf = open(args.metrics, "a") if getattr(args, "metrics", None) else None
 
     done: dict = {}      # path -> mtime processed (or last failed attempt)
     fails: dict = {}     # path -> (mtime, attempt count); resets on mtime
@@ -533,7 +565,7 @@ def run_watch(args) -> int:
                                       tile=args.tile, chunk=args.chunk,
                                       compute_dtype=compute_dtype,
                                       engine=getattr(args, "engine", "xla"),
-                                      int8_cache=int8_cache)
+                                      int8_cache=int8_cache, mesh=mesh)
                 names = [pick_name(f) for f, _ in batch_paths]
                 n_ok = 0
                 for (f, mt), name, out in zip(batch_paths, names, outs):
@@ -550,15 +582,29 @@ def run_watch(args) -> int:
                     done[f] = mt
                     fails.pop(f, None)
                     n_ok += 1
+                dt = time.time() - t0
                 px = sum(o.shape[0] * o.shape[1] for o in outs) / 1e6
                 print(f"upscaled {n_ok} image(s), {px:.1f} HR MPix "
-                      f"in {time.time() - t0:.2f}s", flush=True)
+                      f"in {dt:.2f}s", flush=True)
+                if mf is not None:
+                    # JSONL serving observability (the reference has
+                    # stdout only; SURVEY.md §5 metrics row)
+                    import json
+                    mf.write(json.dumps({
+                        "images": n_ok, "failed": len(outs) - n_ok,
+                        "hr_mpix": round(px, 3), "latency_s": round(dt, 4),
+                        "mpix_per_s": round(px / max(dt, 1e-9), 2),
+                        "wall": time.time()}) + "\n")
+                    mf.flush()
             if args.once:
                 return 0
             time.sleep(args.poll)
     except KeyboardInterrupt:
         print("\nDone")
         return 0
+    finally:
+        if mf is not None:
+            mf.close()
 
 
 def run_train(args) -> int:
@@ -656,6 +702,7 @@ def run_train(args) -> int:
                            batch_size=cfg.batch_size // nproc,
                            seed=jax.process_index(),
                            workers=getattr(args, "data_workers", None),
+                           out_dtype=np.uint8,   # 4x less H2D; device /255
                            shard_across_hosts=nproc > 1)
     except (ValueError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)

@@ -654,6 +654,7 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
                    chunk: Optional[int] = None, compute_dtype=None,
                    out16=None, engine: str = "xla",
                    int8_cache: Optional[dict] = None,
+                   mesh=None,
                    device_put: Callable = jax.device_put) -> list:
     """Upscale a list of images, batching tiles ACROSS images.
 
@@ -665,8 +666,26 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     input order (uint8 in => uint8 out).  ``engine``: "xla" (exact or
     fast tier) or "int8" (quantised trunk, calibrated on tiles sampled
     across the WHOLE batch).
+
+    ``mesh``: shard each tile chunk over the mesh's 'data' axis
+    (batch-of-tiles DP for the realistic pod workloads — a folder, a
+    watch service; VERDICT r3 #3/#5).  The chunk ladder is applied PER
+    DEVICE (the HBM cliff it guards is per chip), params replicate, and
+    the forward needs no collectives; outputs are byte-identical to the
+    single-device path (pinned in tests/test_multichip.py).  "xla"
+    engine only.
     """
     assert engine in ("xla", "int8"), engine
+    n_data = 1
+    if mesh is not None:
+        assert engine == "xla", "mesh sharding supports the xla engine"
+        from jax.sharding import NamedSharding, PartitionSpec
+        n_data = mesh.shape["data"]
+        sh = NamedSharding(mesh, PartitionSpec("data", None, None, None))
+        repl = NamedSharding(mesh, PartitionSpec())
+        base_put = device_put
+        device_put = lambda x: base_put(x, sh)  # noqa: E731
+        params = jax.device_put(trunk_params(params), repl)
     if out16 is None:   # bf16-stage-output default for the fast tier
         out16 = compute_dtype is not None
     if not images:
@@ -703,7 +722,13 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     if chunk is None:
         # The measured ladder is for the packed kernel only (see
         # _CHUNK_T_MS); other tiers keep the conservative default.
-        chunk = _pick_chunk(n_tiles, tile) if use_packed else _DEFAULT_CHUNK
+        # Under a mesh, the ladder applies PER DEVICE (per-chip HBM
+        # cliff), so the dispatch chunk scales by the data-axis size.
+        per_dev = _pick_chunk(max(1, -(-n_tiles // n_data)), tile) \
+            if use_packed else _DEFAULT_CHUNK
+        chunk = per_dev * n_data
+    elif mesh is not None:
+        chunk *= n_data   # user chunk is per-device (tiled_sr_sharded)
 
     out_dtype = np.uint8 if u8_io else np.float32
     outs = [np.zeros((m[2] * factor, m[3] * factor, 3), out_dtype)
@@ -719,6 +744,8 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
             q, z, e, m, factor, tile, u8_io)
     elif use_packed:
         pp = packed_trunk_params(params, compute_dtype, factor)
+        if mesh is not None:    # committed replicated weights on the mesh
+            pp = jax.device_put(pp, repl)
         run = lambda z, e, m: _tile_kernel_packed(  # noqa: E731
             pp, z, e, m, factor, tile, compute_dtype)
     else:

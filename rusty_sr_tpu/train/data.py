@@ -162,11 +162,17 @@ class CropPipeline:
                  crop: tuple = (192, 192), batch_size: int = 4,
                  seed: int = 0, workers: Optional[int] = None,
                  cache_bytes: int = 6 << 30,
+                 out_dtype=np.float32,
                  shard_across_hosts: bool = False,
                  process_index: Optional[int] = None,
                  process_count: Optional[int] = None):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        if np.dtype(out_dtype) not in (np.dtype(np.float32),
+                                       np.dtype(np.uint8)):
+            raise ValueError(f"out_dtype must be float32 or uint8, "
+                             f"got {out_dtype}")
+        self.out_dtype = np.dtype(out_dtype)
         self.files = list_images(folder, recurse)
         if not self.files:
             raise ValueError(f"no images found in {folder!r}")
@@ -320,12 +326,21 @@ class CropPipeline:
                     "folder could be decoded")
 
     def next_batch(self) -> np.ndarray:
-        """(B,ch,cw,3) f32 [0,1] batch — blocking, stream is infinite."""
+        """(B,ch,cw,3) batch — blocking, stream is infinite.
+
+        ``out_dtype=float32`` (default): sRGB codes in [0,1].
+        ``out_dtype=uint8``: raw codes — 4x less host->device transfer;
+        the train step converts on DEVICE with the same *(1/255) the
+        host would use (bit-identical batches, train.loop.loss_fn).
+        """
         ch, cw = self.crop
-        out = np.empty((self.batch_size, ch, cw, 3), np.float32)
+        out = np.empty((self.batch_size, ch, cw, 3), self.out_dtype)
         for j in range(self.batch_size):
-            np.multiply(self._next_crop(), np.float32(1 / 255.0),
-                        out=out[j], casting="unsafe")
+            if self.out_dtype == np.uint8:
+                out[j] = self._next_crop()
+            else:
+                np.multiply(self._next_crop(), np.float32(1 / 255.0),
+                            out=out[j], casting="unsafe")
         return out
 
     def cache_stats(self) -> dict:

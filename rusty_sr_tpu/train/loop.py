@@ -98,9 +98,16 @@ class TrainConfig:
 def loss_fn(params, hr, cfg: TrainConfig):
     """Scalar loss + aux (mse) for a batch of HR crops (N,H,W,3).
 
+    ``hr`` may arrive as uint8 codes (the CropPipeline's u8 upload path:
+    4x less host->device transfer — on the tunneled dev host the f32
+    upload dominated the end-to-end step); the conversion to f32/255 is
+    the same multiply the host would do, so batches are bit-identical.
+
     With cfg.remat, the forward is rematerialised in the backward pass
     (jax.checkpoint) — trades FLOPs for HBM when training on large crops.
     """
+    if hr.dtype == jnp.uint8:
+        hr = hr.astype(jnp.float32) * (1.0 / 255.0)
     lr = make_lr_from_hr(hr, cfg.factor)
     cd = jnp.bfloat16 if cfg.amp else None
 
@@ -462,8 +469,10 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
         batch5_sh = NamedSharding(mesh, P(None, "data", sp, None, None))
 
         def to_device(hr):
+            # dtype-preserving: u8 batches upload as u8 (loss_fn converts
+            # on device), f32 batches as f32
             return jax.make_array_from_process_local_data(
-                batch_sh, np.asarray(hr, np.float32))
+                batch_sh, np.asarray(hr))
 
         def to_device_multi(hrs):
             return jax.make_array_from_process_local_data(batch5_sh, hrs)
@@ -557,7 +566,7 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
                 if multi_fn is None:
                     multi_fn, _ = make_train_step_multi(
                         cfg, spd, mesh, spatial=use_spatial)
-                hrs = np.stack([np.asarray(h, np.float32) for h in batches])
+                hrs = np.stack([np.asarray(h) for h in batches])
                 params, opt_state, loss, mse = multi_fn(
                     params, opt_state, to_device_multi(hrs))
                 step += spd

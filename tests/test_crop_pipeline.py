@@ -151,6 +151,48 @@ class TestCropPipeline:
             t.join(timeout=5)
             assert not t.is_alive()
 
+    def test_u8_output_dtype_bit_identical(self, tmp_path):
+        """out_dtype=uint8 (the production 4x-less-H2D path) carries the
+        same data: u8 * (1/255) in f32 must equal the f32 batches."""
+        from rusty_sr_tpu.train.data import CropPipeline
+        folder = _make_folder(tmp_path)
+        a = _collect(CropPipeline(folder, crop=(16, 16), batch_size=3,
+                                  seed=7, workers=4), 6)
+        pu = CropPipeline(folder, crop=(16, 16), batch_size=3, seed=7,
+                          workers=4, out_dtype=np.uint8)
+        b = np.stack([pu.next_batch().copy() for _ in range(6)])
+        pu.close()
+        assert b.dtype == np.uint8
+        np.testing.assert_array_equal(
+            a, b.astype(np.float32) * np.float32(1 / 255.0))
+
+    def test_u8_train_step_matches_f32(self, tmp_path):
+        """The device-side u8->f32 conversion in loss_fn is the same
+        multiply the host would do; the two jit graphs may fuse the
+        convert differently, so the match is f32-ulp class (measured
+        max 7e-8 on O(0.1) params), not bitwise."""
+        import jax
+        import jax.numpy as jnp
+        from rusty_sr_tpu import params as P
+        from rusty_sr_tpu.train.loop import TrainConfig, make_train_step
+
+        rng = np.random.default_rng(3)
+        u8 = rng.integers(0, 256, (2, 24, 24, 3), np.uint8)
+        f32 = u8.astype(np.float32) * np.float32(1 / 255.0)
+        cfg = TrainConfig(factor=3, batch_size=2, crop=24)
+        step, opt = make_train_step(cfg)
+        p = jax.tree.map(jnp.asarray, P.init_params(0, 3))
+        s = opt.init(p)
+        pa, sa, la, ma = step(p, s, jnp.asarray(f32))
+        p = jax.tree.map(jnp.asarray, P.init_params(0, 3))
+        s = opt.init(p)
+        pb, sb, lb, mb = step(p, s, jnp.asarray(u8))
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+        for k in pa:
+            np.testing.assert_allclose(np.asarray(pa[k]),
+                                       np.asarray(pb[k]), atol=1e-6,
+                                       err_msg=k)
+
     def test_feed_rate_meets_device_appetite(self, tmp_path):
         """The engineered pipeline must actually feed the measured
         device step rate.  Warm-cache crops/s on CPU against a modest
