@@ -1,11 +1,19 @@
-"""In-suite north-star quality gate (VERDICT r2 #3; BASELINE.md budget).
+"""In-suite north-star quality gates (BASELINE.md budget; VERDICT r3 #6).
 
 Real product weights at product settings (tile=242, u8 I/O, packed fast
-tier) — not random init.  Measured on this protocol (scripts/qmeasure,
-r3): nominal fidelity 60.91 dB, GT delta +0.0032 dB; a 1-bf16-ulp-class
-perturbation of the packed 3x3 stage weights drops fidelity to 57.06 dB,
-so the 58 dB gate has teeth: any packed-kernel quality regression of even
-one rounding class fails the suite.
+tier) over ALL FOUR docs images, plus packed-tier gates at factors 2 and
+4 (seeded-init weights — no trained non-factor-3 weights exist).
+
+Measured nominals (this protocol, CPU, round 4):
+
+  factor 3 fidelity (fast vs exact): cartoon 60.89 | butterfly 63.34 |
+    logo 63.90 | bank 63.69 dB; a 1-bf16-ulp-class perturbation of the
+    packed 3x3 stage weights costs ~3.8-4 dB, so per-image gates ~2.3 dB
+    under nominal have teeth at every image.
+  factor 3 GT delta (exact - fast, self-supervised GT protocol):
+    +0.003 .. +0.026 dB — all inside the 0.05 dB budget.
+  factors 2/4 (seeded init): fidelity 67.2 dB nominal, 62.9/63.2
+    perturbed; GT delta ~0.000 dB.
 """
 
 import numpy as np
@@ -14,6 +22,7 @@ import jax.numpy as jnp
 import pytest
 
 from rusty_sr_tpu import load_builtin
+from rusty_sr_tpu import params as params_lib
 from rusty_sr_tpu.parallel.tiling import (HALO, _gather_u8,
                                           _tile_kernel_packed,
                                           packed_trunk_params, tiled_sr,
@@ -21,8 +30,26 @@ from rusty_sr_tpu.parallel.tiling import (HALO, _gather_u8,
 from rusty_sr_tpu.models.sr_net import make_lr_from_hr
 from rusty_sr_tpu.utils.imageio import load_image, load_image_u8, psnr, to_u8
 
-FIDELITY_GATE_DB = 58.0      # nominal 60.9; 1-ulp regression = 57.1
 GT_BUDGET_DB = 0.05          # BASELINE.md north-star quality clause
+DOCS = "/root/reference/docs/"
+
+# per-image fidelity gates: ~2.3 dB under measured nominal, well inside
+# the ~3.8-4 dB cost of a 1-ulp packed-weight regression (teeth test)
+FIDELITY_GATES = {"cartoon": 58.0, "butterfly": 61.0,
+                  "logo": 61.5, "bank": 61.3}
+# LR input per image (logo_lr does not exist; logo_nn[::3,::3] recovers it)
+LR_FILES = {"cartoon": "cartoon_lr.png", "butterfly": "butterfly_lr.png",
+            "logo": "logo_nn.png", "bank": "bank_lr.png"}
+# HR source per image for the self-supervised GT protocol
+HR_FILES = {"cartoon": "cartoon_rsa.png", "butterfly": "butterfly_rs.png",
+            "logo": "logo_rs.png", "bank": "bank_rs.png"}
+FACTOR_FIDELITY_GATE = 64.5  # factors 2/4 seeded init: nominal 67.2,
+#                              1-ulp perturbed 62.9/63.2
+
+
+def _load_lr(name: str) -> np.ndarray:
+    img = load_image_u8(DOCS + LR_FILES[name])
+    return img[::3, ::3] if name == "logo" else img
 
 
 @pytest.fixture(scope="module")
@@ -30,55 +57,94 @@ def params():
     return {k: jnp.asarray(v) for k, v in load_builtin("imagenet").items()}
 
 
-@pytest.fixture(scope="module")
-def cartoon_u8():
-    return load_image_u8("/root/reference/docs/cartoon_lr.png")
-
-
-@pytest.fixture(scope="module")
-def exact_out(params, cartoon_u8):
-    return tiled_sr(params, cartoon_u8, 3, tile=242)
-
-
-def test_packed_fast_tier_fidelity_real_weights(params, cartoon_u8,
-                                                exact_out):
-    """Packed fast tier vs exact tier, real weights, product settings."""
-    fast = tiled_sr(params, cartoon_u8, 3, tile=242,
+@pytest.mark.parametrize("name", sorted(FIDELITY_GATES))
+def test_packed_fast_tier_fidelity_real_weights(params, name):
+    """Packed fast tier vs exact tier, real weights, product settings,
+    every docs image (a butterfly-only or bank-only regression fails)."""
+    lr = _load_lr(name)
+    exact = tiled_sr(params, lr, 3, tile=242, chunk=2)
+    fast = tiled_sr(params, lr, 3, tile=242, chunk=2,
                     compute_dtype=jnp.bfloat16)
-    db = psnr(fast / 255.0, exact_out / 255.0)
-    assert db >= FIDELITY_GATE_DB, f"fast-tier fidelity {db:.2f} dB"
+    db = psnr(fast / 255.0, exact / 255.0)
+    assert db >= FIDELITY_GATES[name], \
+        f"{name} fast-tier fidelity {db:.2f} dB"
 
 
-def test_packed_fast_tier_gt_delta_budget(params):
+@pytest.mark.parametrize("name", sorted(HR_FILES))
+def test_packed_fast_tier_gt_delta_budget(params, name):
     """Self-supervised GT protocol (the reference's own validation,
     src/main.rs:231-250): HR -> factor-pool -> u8 LR -> SR; the fast
-    tier may cost at most 0.05 dB of real PSNR vs the exact tier."""
-    hr = load_image("/root/reference/docs/cartoon_rsa.png")
+    tier may cost at most 0.05 dB of real PSNR vs the exact tier —
+    gated on every docs image."""
+    hr = load_image(DOCS + HR_FILES[name])
     h, w, _ = hr.shape
     hr = hr[: h - h % 3, : w - w % 3]
     lr = to_u8(np.clip(
         np.asarray(make_lr_from_hr(jnp.asarray(hr)[None], 3)[0]), 0, 1))
-    pe = psnr(np.clip(tiled_sr(params, lr, 3, tile=242) / 255.0, 0, 1), hr)
-    pf = psnr(np.clip(tiled_sr(params, lr, 3, tile=242,
+    pe = psnr(np.clip(tiled_sr(params, lr, 3, tile=242, chunk=2) / 255.0,
+                      0, 1), hr)
+    pf = psnr(np.clip(tiled_sr(params, lr, 3, tile=242, chunk=2,
                                compute_dtype=jnp.bfloat16) / 255.0, 0, 1),
               hr)
-    assert pe - pf <= GT_BUDGET_DB, f"GT delta {pe - pf:+.4f} dB"
+    assert pe - pf <= GT_BUDGET_DB, f"{name} GT delta {pe - pf:+.4f} dB"
 
 
-def test_quality_gate_has_teeth(params, cartoon_u8, exact_out):
+@pytest.mark.parametrize("factor", [2, 4])
+def test_packed_tier_budget_other_factors(factor):
+    """Factor-generic packed tier (the reference's TODO factor flag):
+    fidelity + GT budget at factors 2 and 4 with seeded-init weights —
+    a factor-specific packed-kernel regression fails here even when
+    factor 3 is clean."""
+    tree = jax.tree.map(jnp.asarray, params_lib.init_params(0, factor))
+    lr = _load_lr("cartoon")
+    exact = tiled_sr(tree, lr, factor, tile=242, chunk=2)
+    fast = tiled_sr(tree, lr, factor, tile=242, chunk=2,
+                    compute_dtype=jnp.bfloat16)
+    db = psnr(fast / 255.0, exact / 255.0)
+    assert db >= FACTOR_FIDELITY_GATE, \
+        f"factor-{factor} fidelity {db:.2f} dB"
+
+    hr = load_image(DOCS + "cartoon_rsa.png")
+    h, w, _ = hr.shape
+    hr = hr[: h - h % factor, : w - w % factor]
+    lru = to_u8(np.clip(np.asarray(
+        make_lr_from_hr(jnp.asarray(hr)[None], factor)[0]), 0, 1))
+    pe = psnr(np.clip(tiled_sr(tree, lru, factor, tile=242,
+                               chunk=2) / 255.0, 0, 1), hr)
+    pf = psnr(np.clip(tiled_sr(tree, lru, factor, tile=242, chunk=2,
+                               compute_dtype=jnp.bfloat16) / 255.0, 0, 1),
+              hr)
+    assert pe - pf <= GT_BUDGET_DB, \
+        f"factor-{factor} GT delta {pe - pf:+.4f} dB"
+
+
+@pytest.mark.parametrize("factor", [2, 3, 4])
+def test_quality_gate_has_teeth(factor):
     """Deliberately injecting a 1-bf16-ulp-class error into the packed
-    3x3 stage weights must fail the fidelity gate — proving the gate
-    would catch a new packed-kernel rounding regression (the class of
-    bug XLA's excess-precision fold caused in round 2, PERF.md)."""
-    pp = packed_trunk_params(trunk_params(params), jnp.bfloat16, 3)
+    3x3 stage weights must fail the fidelity gate AT EVERY FACTOR —
+    proving the gates would catch a new packed-kernel rounding
+    regression (the class of bug XLA's excess-precision fold caused in
+    round 2, PERF.md).  Measured drops: 60.9->57.1 (f3, real weights),
+    67.2->62.9/63.2 (f2/f4, seeded init)."""
+    lr = _load_lr("cartoon")
+    if factor == 3:
+        tree = {k: jnp.asarray(v)
+                for k, v in load_builtin("imagenet").items()}
+        gate = FIDELITY_GATES["cartoon"]
+    else:
+        tree = jax.tree.map(jnp.asarray, params_lib.init_params(0, factor))
+        gate = FACTOR_FIDELITY_GATE
+    exact = tiled_sr(tree, lr, factor, tile=242, chunk=2)
+    pp = packed_trunk_params(trunk_params(tree), jnp.bfloat16, factor)
     for key in ("WA", "WB", "WC"):
         w = pp[key].astype(jnp.float32) * (1.0 + 2.0 ** -8)
         pp[key] = w.astype(jnp.bfloat16)
-    zt, et, mt = _gather_u8(cartoon_u8, 242, HALO, 1, 1)
+    zt, et, mt = _gather_u8(lr, 242, HALO, 1, 1)
     res = np.asarray(_tile_kernel_packed(
-        pp, jnp.asarray(zt), jnp.asarray(et), jnp.asarray(mt), 3, 242,
-        jnp.bfloat16))[0]
-    pert = res[:cartoon_u8.shape[0] * 3, :cartoon_u8.shape[1] * 3]
-    db = psnr(pert / 255.0, exact_out / 255.0)
-    assert db < FIDELITY_GATE_DB - 0.5, \
-        f"perturbation not detected ({db:.2f} dB) — the gate has no teeth"
+        pp, jnp.asarray(zt), jnp.asarray(et), jnp.asarray(mt), factor,
+        242, jnp.bfloat16))[0]
+    pert = res[:lr.shape[0] * factor, :lr.shape[1] * factor]
+    db = psnr(pert / 255.0, exact / 255.0)
+    assert db < gate - 0.5, \
+        f"factor-{factor} perturbation not detected ({db:.2f} dB) — " \
+        "the gate has no teeth"
