@@ -54,7 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tiles per device dispatch (default: picked per "
                         "image from the measured throughput ladder)")
     p.add_argument("--fast", action="store_true",
-                   help="bf16 conv trunk (higher throughput, ~1 code max deviation)")
+                   help="bf16 packed trunk — ~7.7x the exact default "
+                        "(1356 vs ~175 MPix/s on v5e) within the 0.05 dB "
+                        "ground-truth quality budget; ~1 u8 code max "
+                        "deviation vs exact (PERF.md)")
     p.add_argument("--engine", choices=["xla", "int8", "fused"], default="xla",
                    help="device engine. 'int8' and 'fused' are "
                         "EXPERIMENTAL: int8 (quantised trunk, ~55 dB "
@@ -187,6 +190,17 @@ def build_train_parser() -> argparse.ArgumentParser:
     return t
 
 
+def _fast_tier_tip(args) -> None:
+    """One stderr line steering exact-tier users to the tier that beats
+    the north star (round-3 review: a user who doesn't know --fast
+    exists gets the 7.7x-slower parity default with no signpost)."""
+    if not getattr(args, "fast", False) \
+            and getattr(args, "engine", "xla") == "xla":
+        print("tip: running the exact-parity tier (~175 MPix/s on v5e); "
+              "--fast is ~7.7x faster within the documented 0.05 dB "
+              "quality budget (PERF.md)", file=sys.stderr)
+
+
 def run_upscale(args) -> int:
     import jax.numpy as jnp
     from rusty_sr_tpu import params as params_lib
@@ -240,6 +254,7 @@ def run_upscale(args) -> int:
         print(" Done")
         return 0
     else:
+        _fast_tier_tip(args)
         if args.custom:
             print("Upscaling using custom neural net parameters...", end="", flush=True)
             src = args.custom
@@ -435,6 +450,7 @@ def _run_upscale_folder(args) -> int:
         except (ValueError, AssertionError) as e:
             print(f"error: bad --mesh {args.mesh!r}: {e}", file=sys.stderr)
             return 2
+    _fast_tier_tip(args)
     print(f"Upscaling {len(images)} images (tiles batched across images"
           + (f", sharded over {mesh.shape['data']} devices" if mesh else "")
           + ")...", end="", flush=True)
@@ -466,7 +482,8 @@ def build_watch_parser() -> argparse.ArgumentParser:
                    help="custom parameter file (.rsr)")
     w.add_argument("-f", "--factor", type=int, default=3)
     w.add_argument("--fast", action="store_true",
-                   help="bf16 conv trunk (higher throughput)")
+                   help="bf16 packed trunk — ~7.7x the exact default "
+                        "within the 0.05 dB quality budget (PERF.md)")
     w.add_argument("--engine", choices=["xla", "int8"], default="xla",
                    help="device engine (int8: quantised low-memory trunk)")
     w.add_argument("--tile", type=int, default=242)
@@ -526,6 +543,7 @@ def run_watch(args) -> int:
         print(f"error: {args.INPUT_DIR!r} is not a folder", file=sys.stderr)
         return 1
     os.makedirs(args.OUTPUT_DIR, exist_ok=True)
+    _fast_tier_tip(args)
     mf = open(args.metrics, "a") if getattr(args, "metrics", None) else None
 
     done: dict = {}      # path -> mtime processed (or last failed attempt)

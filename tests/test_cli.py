@@ -417,3 +417,22 @@ def test_fast_flag_reaches_all_three_surfaces(tmp_path):
                      "--once", str(fdir), str(wdir)]) == 0
     np.testing.assert_array_equal(load_image_u8(str(wdir / "a.png")),
                                   want_fast)
+
+
+def test_exact_tier_tip_on_stderr(tmp_path, capsys):
+    """The exact (default) tier prints ONE stderr signpost to --fast —
+    the tier that beats the north star (round-3 review weak #7); --fast
+    itself must stay quiet on stderr."""
+    from rusty_sr_tpu.utils.imageio import load_image_u8, save_image_u8
+    img = load_image_u8("/root/reference/docs/cartoon_lr.png")[:20, :24]
+    src = str(tmp_path / "in.png")
+    save_image_u8(src, img)
+
+    assert cli.main(["--platform", "cpu", "-p", "anime", "--tile", "16",
+                     src, str(tmp_path / "a.png")]) == 0
+    err = capsys.readouterr().err
+    assert "--fast" in err and err.count("tip:") == 1
+
+    assert cli.main(["--platform", "cpu", "-p", "anime", "--tile", "16",
+                     "--fast", src, str(tmp_path / "b.png")]) == 0
+    assert "tip:" not in capsys.readouterr().err
