@@ -370,9 +370,138 @@ def _output_names(paths) -> list:
     return [namer(f) for f in paths]
 
 
+class _AsyncWriter:
+    """Write-behind PNG encoder pool for folder/watch serving.
+
+    PNG encode runs at ~2.6 MPix/s per host core vs the chip's ~1356 —
+    host encode, not device compute, bounds end-to-end folder serving.
+    Saves run on worker threads (PIL's encoder releases the GIL) while
+    the device computes later chunks; a bounded pending window
+    back-pressures the producer (the tile drain loop) so finished-but-
+    unwritten outputs can't pile up on host.  ``finish()`` joins and
+    returns the write failures instead of raising mid-batch."""
+
+    def __init__(self, workers: Optional[int] = None):
+        import concurrent.futures
+        import threading
+        if workers is None:
+            workers = max(1, min(8, (os.cpu_count() or 2)))
+        self._sem = threading.Semaphore(2 * workers + 2)
+        self._ex = concurrent.futures.ThreadPoolExecutor(workers)
+        self._futs: list = []   # (path, future)
+
+    def submit(self, path: str, img) -> None:
+        from rusty_sr_tpu.utils.imageio import save_image_u8
+        self._sem.acquire()   # blocks the drain loop when saturated
+
+        def job():
+            try:
+                save_image_u8(path, img)
+            finally:
+                self._sem.release()
+
+        self._futs.append((path, self._ex.submit(job)))
+
+    def finish(self) -> list:
+        """Join all writes; [(path, exception), ...] for the failures."""
+        fails = []
+        for path, fut in self._futs:
+            try:
+                fut.result()
+            except OSError as e:
+                fails.append((path, e))
+        self._futs = []
+        self._ex.shutdown(wait=True)
+        return fails
+
+
+# Host-memory budget per device group in folder mode: decoded LR input
+# bytes per tiled_sr_batch call.  HR outputs are factor^2 larger but are
+# written behind and released per image (release_outputs), so the LR
+# budget is what bounds resident memory; one group is decoded ahead
+# while the previous computes.  128 MB ~= 170 512x512 images per group —
+# large enough that per-group chunk padding stays negligible.
+_GROUP_LR_BYTES = 128 << 20
+
+
+def _decoded_groups(files, budget_bytes: int = _GROUP_LR_BYTES):
+    """Yield [(orig_index, u8_image), ...] groups, decoding on a small
+    thread pool ONE GROUP AHEAD of the consumer (queue depth 1): group
+    k+1 decodes while the device computes group k.  Unreadable files
+    are reported and skipped, matching the eager loop this replaces."""
+    import concurrent.futures
+    import queue as _q
+    import threading
+    from rusty_sr_tpu.utils.imageio import load_image_u8
+
+    out_q: "_q.Queue" = _q.Queue(maxsize=1)
+    workers = max(1, min(8, (os.cpu_count() or 2)))
+
+    def _decode(item):
+        i, f = item
+        try:
+            return i, load_image_u8(f)
+        except OSError as e:
+            return i, e
+
+    def _producer():
+        from collections import deque
+        group, used = [], 0
+        try:
+            with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+                # Bounded-window submission (Executor.map would submit
+                # EVERY file at once — unbounded decoded-image memory on
+                # a big folder); combined with the depth-1 group queue,
+                # decode-ahead tops out at ~2 groups + 2 pool widths.
+                futs: deque = deque()
+                it = iter(enumerate(files))
+
+                def refill():
+                    while len(futs) < 2 * workers:
+                        try:
+                            futs.append(ex.submit(_decode, next(it)))
+                        except StopIteration:
+                            return
+
+                refill()
+                while futs:
+                    i, img = futs.popleft().result()
+                    refill()
+                    if isinstance(img, Exception):
+                        print(f"skipping {files[i]}: {img}",
+                              file=sys.stderr)
+                        continue
+                    group.append((i, img))
+                    used += img.nbytes
+                    if used >= budget_bytes:
+                        out_q.put(group)
+                        group, used = [], 0
+            if group:
+                out_q.put(group)
+            out_q.put(None)
+        except BaseException as e:  # propagate to the consumer
+            out_q.put(e)
+
+    threading.Thread(target=_producer, daemon=True).start()
+    while True:
+        item = out_q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _run_upscale_folder(args) -> int:
     """Folder mode: upscale every image in INPUT_FILE into OUTPUT_FILE/,
-    batching tiles across images to amortise per-dispatch fixed costs."""
+    batching tiles across images to amortise per-dispatch fixed costs.
+
+    The neural path is a three-stage host/device pipeline: a decode pool
+    stages bounded groups of images one group ahead, the tile driver
+    keeps up to 8 chunks in flight on device, and finished images are
+    PNG-encoded on a write-behind pool the moment their last tile drains
+    (encode at ~2.6 MPix/s/core is the end-to-end limiter; serialising
+    it after compute would idle the chip behind the host)."""
     import os
     import jax.numpy as jnp
     from rusty_sr_tpu import params as params_lib
@@ -387,16 +516,6 @@ def _run_upscale_folder(args) -> int:
     os.makedirs(args.OUTPUT_FILE, exist_ok=True)
     out_paths = [os.path.join(args.OUTPUT_FILE, n)
                  for n in _output_names(files)]
-    images, keep = [], []
-    for i, f in enumerate(files):
-        try:
-            images.append(load_image_u8(f))
-            keep.append(i)
-        except OSError as e:
-            print(f"skipping {f}: {e}", file=sys.stderr)
-    if not images:
-        print("error: no readable images", file=sys.stderr)
-        return 1
 
     if args.downsample or args.parameters == "bilinear":
         if getattr(args, "mesh", None):
@@ -405,6 +524,16 @@ def _run_upscale_folder(args) -> int:
             print("error: --mesh is not supported for the bilinear/"
                   "downsample folder paths", file=sys.stderr)
             return 2
+        images, keep = [], []
+        for i, f in enumerate(files):
+            try:
+                images.append(load_image_u8(f))
+                keep.append(i)
+            except OSError as e:
+                print(f"skipping {f}: {e}", file=sys.stderr)
+        if not images:
+            print("error: no readable images", file=sys.stderr)
+            return 1
         # non-neural paths: per-image loop over the ONE fixed-shape
         # tile executable (whole-image jit would recompile per size)
         from rusty_sr_tpu.parallel.tiling import tiled_simple
@@ -451,18 +580,34 @@ def _run_upscale_folder(args) -> int:
             print(f"error: bad --mesh {args.mesh!r}: {e}", file=sys.stderr)
             return 2
     _fast_tier_tip(args)
-    print(f"Upscaling {len(images)} images (tiles batched across images"
+    print(f"Upscaling {len(files)} images (tiles batched across images"
           + (f", sharded over {mesh.shape['data']} devices" if mesh else "")
           + ")...", end="", flush=True)
-    outs = tiled_sr_batch(
-        tree, images, args.factor, tile=args.tile, chunk=args.chunk,
-        compute_dtype=jnp.bfloat16 if args.fast else None, engine=engine,
-        mesh=mesh)
-    print(" Writing files...", end="", flush=True)
-    for out, i in zip(outs, keep):
-        save_image_u8(out_paths[i], out)
+    writer = _AsyncWriter()
+    int8_cache: dict = {}   # one calibration across all groups
+    n_done = 0
+    try:
+        for group in _decoded_groups(files):
+            idxs = [i for i, _ in group]
+            imgs = [im for _, im in group]
+            tiled_sr_batch(
+                tree, imgs, args.factor, tile=args.tile, chunk=args.chunk,
+                compute_dtype=jnp.bfloat16 if args.fast else None,
+                engine=engine, mesh=mesh, int8_cache=int8_cache,
+                on_image_done=lambda j, out, _ix=idxs: writer.submit(
+                    out_paths[_ix[j]], out),
+                release_outputs=True)
+            n_done += len(group)
+    finally:
+        fails = writer.finish()
+    for path, e in fails:
+        print(f"\nCould not write output file: {path}: {e}",
+              file=sys.stderr)
+    if n_done == 0:
+        print("\nerror: no readable images", file=sys.stderr)
+        return 1
     print(" Done")
-    return 0
+    return 0 if not fails else 1
 
 
 def build_watch_parser() -> argparse.ArgumentParser:
@@ -579,20 +724,27 @@ def run_watch(args) -> int:
                         print(f"skipping {f}: {e}", file=sys.stderr)
             if batch_imgs:
                 t0 = time.time()
-                outs = tiled_sr_batch(tree, batch_imgs, args.factor,
-                                      tile=args.tile, chunk=args.chunk,
-                                      compute_dtype=compute_dtype,
-                                      engine=getattr(args, "engine", "xla"),
-                                      int8_cache=int8_cache, mesh=mesh)
                 names = [pick_name(f) for f, _ in batch_paths]
+                # PNG encode rides a write-behind pool while later tile
+                # chunks compute (see _AsyncWriter) — the per-image save
+                # fires the moment that image's last tile drains.
+                writer = _AsyncWriter()
+                tiled_sr_batch(tree, batch_imgs, args.factor,
+                               tile=args.tile, chunk=args.chunk,
+                               compute_dtype=compute_dtype,
+                               engine=getattr(args, "engine", "xla"),
+                               int8_cache=int8_cache, mesh=mesh,
+                               on_image_done=lambda j, out: writer.submit(
+                                   os.path.join(args.OUTPUT_DIR, names[j]),
+                                   out),
+                               release_outputs=True)
+                # an unwritable output (disk full, permissions) must not
+                # kill the resident watcher mid-batch: finish() collects
+                failed = {p: e for p, e in writer.finish()}
                 n_ok = 0
-                for (f, mt), name, out in zip(batch_paths, names, outs):
-                    try:
-                        # an unwritable output (disk full, permissions)
-                        # must not kill the resident watcher mid-batch
-                        save_image_u8(os.path.join(args.OUTPUT_DIR, name),
-                                      out)
-                    except OSError as e:
+                for (f, mt), name in zip(batch_paths, names):
+                    e = failed.get(os.path.join(args.OUTPUT_DIR, name))
+                    if e is not None:
                         fails[f] = (mt, fails.get(f, (mt, 0))[1] + 1)
                         print(f"could not write {name}: {e}",
                               file=sys.stderr)
@@ -601,7 +753,8 @@ def run_watch(args) -> int:
                     fails.pop(f, None)
                     n_ok += 1
                 dt = time.time() - t0
-                px = sum(o.shape[0] * o.shape[1] for o in outs) / 1e6
+                px = sum(im.shape[0] * im.shape[1] for im in batch_imgs) \
+                    * args.factor ** 2 / 1e6
                 print(f"upscaled {n_ok} image(s), {px:.1f} HR MPix "
                       f"in {dt:.2f}s", flush=True)
                 if mf is not None:
@@ -609,7 +762,7 @@ def run_watch(args) -> int:
                     # stdout only; SURVEY.md §5 metrics row)
                     import json
                     mf.write(json.dumps({
-                        "images": n_ok, "failed": len(outs) - n_ok,
+                        "images": n_ok, "failed": len(batch_imgs) - n_ok,
                         "hr_mpix": round(px, 3), "latency_s": round(dt, 4),
                         "mpix_per_s": round(px / max(dt, 1e-9), 2),
                         "wall": time.time()}) + "\n")

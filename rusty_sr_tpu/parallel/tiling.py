@@ -655,6 +655,8 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
                    out16=None, engine: str = "xla",
                    int8_cache: Optional[dict] = None,
                    mesh=None,
+                   on_image_done: Optional[Callable] = None,
+                   release_outputs: bool = False,
                    device_put: Callable = jax.device_put) -> list:
     """Upscale a list of images, batching tiles ACROSS images.
 
@@ -674,6 +676,18 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     the forward needs no collectives; outputs are byte-identical to the
     single-device path (pinned in tests/test_multichip.py).  "xla"
     engine only.
+
+    ``on_image_done(i, out)``: called from the drain loop (caller's
+    thread, ascending i) the moment image i's LAST tile is scattered —
+    while later chunks are still computing on device.  Host post-work
+    (PNG encode runs ~2.6 MPix/s/core vs the chip's 1356 — it, not the
+    chip, bounds end-to-end folder serving) overlaps compute instead of
+    serialising after it; a callback that blocks (e.g. a bounded writer
+    pool) back-pressures dispatch, keeping in-flight memory bounded.  A
+    callback exception propagates (the batch fails loudly, not half-
+    written).  ``release_outputs=True`` drops the driver's reference
+    after the callback (that slot of the returned list is None) so a
+    big folder's finished outputs don't accumulate on host.
     """
     assert engine in ("xla", "int8"), engine
     n_data = 1
@@ -754,6 +768,9 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
 
     pending: deque = deque()
     img_state = [0]   # image cursor shared with the drain helper
+    remain = [m[0] * m[1] for m in metas]   # undrained tiles per image
+    drain_args = (starts, metas, outs, img_state, tf, u8_io,
+                  remain, on_image_done, release_outputs)
     for g0 in range(0, n_tiles, chunk):
         g1 = min(g0 + chunk, n_tiles)
         cnt = g1 - g0
@@ -772,19 +789,21 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
             res.copy_to_host_async()  # D2H overlaps later chunks' compute
         pending.append((g0, cnt, res))
         if len(pending) >= _MAX_INFLIGHT:
-            _drain_batch_chunk(pending, starts, metas, outs, img_state,
-                               tf, u8_io)
+            _drain_batch_chunk(pending, *drain_args)
     while pending:
-        _drain_batch_chunk(pending, starts, metas, outs, img_state,
-                           tf, u8_io)
+        _drain_batch_chunk(pending, *drain_args)
     return outs
 
 
 def _drain_batch_chunk(pending, starts, metas, outs, img_state,
-                       tf: int, u8_io: bool):
+                       tf: int, u8_io: bool, remain=None,
+                       on_image_done=None, release_outputs=False):
     """Fetch the OLDEST in-flight chunk and scatter it across the images
     it spans (chunks are global-tile-index contiguous; `img_state`
-    carries the image cursor between calls)."""
+    carries the image cursor between calls).  When a scatter completes
+    an image (its undrained-tile count in `remain` hits 0) the
+    completion callback fires immediately — images finish in input
+    order, while later chunks are still in flight."""
     g0, cnt, res = pending.popleft()
     res = np.asarray(res[:cnt])
     j = 0
@@ -792,16 +811,21 @@ def _drain_batch_chunk(pending, starts, metas, outs, img_state,
         g = g0 + j
         while g >= starts[img_state[0] + 1]:
             img_state[0] += 1
-        local = g - starts[img_state[0]]
-        run_len = min(cnt - j, int(starts[img_state[0] + 1]) - g)
-        nx = metas[img_state[0]][1]
+        idx = img_state[0]
+        local = g - starts[idx]
+        run_len = min(cnt - j, int(starts[idx + 1]) - g)
+        nx = metas[idx][1]
         if u8_io:
-            _scatter_u8(res[j:j + run_len], local, nx, tf,
-                        outs[img_state[0]])
+            _scatter_u8(res[j:j + run_len], local, nx, tf, outs[idx])
         else:
-            native.scatter_tiles(res[j:j + run_len], local, nx,
-                                 outs[img_state[0]])
+            native.scatter_tiles(res[j:j + run_len], local, nx, outs[idx])
         j += run_len
+        if remain is not None:
+            remain[idx] -= run_len
+            if remain[idx] == 0 and on_image_done is not None:
+                on_image_done(idx, outs[idx])
+                if release_outputs:
+                    outs[idx] = None
 
 
 # Measured ms/chunk of the PACKED fast-tier kernel (merged-base form) at

@@ -436,3 +436,64 @@ def test_exact_tier_tip_on_stderr(tmp_path, capsys):
     assert cli.main(["--platform", "cpu", "-p", "anime", "--tile", "16",
                      "--fast", src, str(tmp_path / "b.png")]) == 0
     assert "tip:" not in capsys.readouterr().err
+
+
+def test_folder_mode_grouped_streaming_matches(tmp_path, monkeypatch):
+    """The bounded-memory group pipeline (decode-ahead groups +
+    write-behind encode) must produce byte-identical outputs however
+    the folder is split into device groups: force one-image groups and
+    compare against the single-group run."""
+    from rusty_sr_tpu.utils.imageio import save_image, load_image_u8
+    rng = np.random.default_rng(9)
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, shape in enumerate([(20, 15, 3), (9, 31, 3), (17, 17, 3)]):
+        save_image(str(src / f"im{i}.png"),
+                   rng.random(shape).astype(np.float32))
+    one = tmp_path / "one"
+    assert cli.main(["--platform", "cpu", "-p", "anime", "--tile", "16",
+                     str(src), str(one)]) == 0
+    monkeypatch.setattr(cli, "_GROUP_LR_BYTES", 1)  # every image its own group
+    many = tmp_path / "many"
+    assert cli.main(["--platform", "cpu", "-p", "anime", "--tile", "16",
+                     str(src), str(many)]) == 0
+    for i in range(3):
+        np.testing.assert_array_equal(
+            load_image_u8(str(many / f"im{i}.png")),
+            load_image_u8(str(one / f"im{i}.png")))
+
+
+def test_folder_mode_write_failure_reports_and_continues(tmp_path, capsys):
+    """A single unwritable output (here: a directory squatting on the
+    output path) must be reported with exit 1 while every other image
+    is still written — the write-behind pool collects failures instead
+    of dying mid-batch."""
+    from rusty_sr_tpu.utils.imageio import save_image
+    rng = np.random.default_rng(10)
+    src = tmp_path / "in"
+    src.mkdir()
+    for name in ("a", "b"):
+        save_image(str(src / f"{name}.png"),
+                   rng.random((12, 10, 3)).astype(np.float32))
+    dst = tmp_path / "out"
+    dst.mkdir()
+    (dst / "a.png").mkdir()   # save will fail with IsADirectoryError
+    rc = cli.main(["--platform", "cpu", "-p", "anime", "--tile", "16",
+                   str(src), str(dst)])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "Could not write output file" in err and "a.png" in err
+    assert (dst / "b.png").is_file()
+
+
+def test_folder_mode_unreadable_only(tmp_path, capsys):
+    """A folder with no decodable image exits 1 with the same
+    diagnostic the eager loop used."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "junk.png").write_bytes(b"not a png")
+    rc = cli.main(["--platform", "cpu", "-p", "anime",
+                   str(src), str(tmp_path / "out")])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "no readable images" in err and "skipping" in err

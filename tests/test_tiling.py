@@ -371,3 +371,49 @@ def test_geometry_fuzz_packed_vs_flat_fast(anime_params):
                         compute_dtype=jnp.bfloat16, trunk="flat")
         d = np.abs(packed.astype(int) - flat.astype(int)).max()
         assert d <= 1, (h, w, tile, d)
+
+
+def test_on_image_done_callback(anime_params):
+    """Pipelined serving contract (on_image_done / release_outputs):
+    the callback fires exactly once per image, in input order, BEFORE
+    the driver returns, with the same bytes the plain call returns;
+    release_outputs empties the returned slots so a big folder's
+    finished outputs don't accumulate on host."""
+    from rusty_sr_tpu.parallel.tiling import tiled_sr_batch
+    rng = np.random.default_rng(11)
+    imgs = [(rng.random((h, w, 3)) * 255).astype(np.uint8)
+            for h, w in ((40, 56), (9, 13), (25, 30))]
+    want = tiled_sr_batch(anime_params, imgs, 3, tile=18, chunk=5)
+
+    got: list = []
+    ret = tiled_sr_batch(anime_params, imgs, 3, tile=18, chunk=5,
+                         on_image_done=lambda i, out: got.append((i, out)),
+                         release_outputs=True)
+    assert [i for i, _ in got] == [0, 1, 2]
+    assert ret == [None, None, None]
+    for (_, out), w in zip(got, want):
+        np.testing.assert_array_equal(out, w)
+
+    # without release_outputs the return value keeps the arrays
+    got2: list = []
+    ret2 = tiled_sr_batch(anime_params, imgs, 3, tile=18, chunk=5,
+                          on_image_done=lambda i, out: got2.append(i))
+    assert got2 == [0, 1, 2]
+    for r, w in zip(ret2, want):
+        np.testing.assert_array_equal(r, w)
+
+
+def test_on_image_done_exception_propagates(anime_params):
+    """A failing completion callback must fail the batch loudly (a
+    swallowed write error would report success on a half-written
+    folder)."""
+    from rusty_sr_tpu.parallel.tiling import tiled_sr_batch
+    rng = np.random.default_rng(12)
+    imgs = [(rng.random((20, 20, 3)) * 255).astype(np.uint8)] * 2
+
+    def boom(i, out):
+        raise OSError("disk full")
+
+    with pytest.raises(OSError, match="disk full"):
+        tiled_sr_batch(anime_params, imgs, 3, tile=18, chunk=2,
+                       on_image_done=boom)
