@@ -1,0 +1,281 @@
+// Fast host-side PNG codec for the serving/training pipelines.
+//
+// WHY THIS EXISTS: the folder/watch drivers are host-codec-bound, not
+// device-bound (PERF.md "Folder/watch serving pipeline"): PIL encodes the
+// 3x HR output at ~2.6 MPix/s/core (adaptive filter + zlib level 6),
+// ~500x slower than the chip's 1356 MPix/s.  The reference's host data
+// path is native Rust (the `image` crate, reference src/main.rs:170,175);
+// ours is native C++.
+//
+// Encoder: hand-rolled PNG container + zlib, because speed comes from
+// three choices libpng's writer cannot make for us:
+//   1. fixed Sub filter (one SIMD-friendly pass, no 5-way adaptive trial);
+//   2. zlib level 1 (deflate dominates encode wall-clock);
+//   3. pigz-style parallel deflate: the filtered scanlines are split into
+//      row slabs, each thread raw-deflates its slab primed with the
+//      previous slab's last 32 KB as dictionary (compression quality kept)
+//      and ends on a byte boundary via Z_FULL_FLUSH; slab outputs simply
+//      concatenate into ONE valid zlib stream (adler32_combine for the
+//      checksum).  Byte-deterministic for a given (input, level, threads).
+// Output parity: RGBA8 with alpha=255, exactly the pixels PIL writes after
+// .convert("RGBA") (reference saves RGBA PNGs, src/main.rs:175).
+//
+// Decoder: libpng (system lib) for full-format coverage, but ONLY for
+// 8-bit-depth files (IHDR-checked) — 16-bit PIL convert() and libpng
+// disagree on the 16->8 rounding, so those fall back to PIL in Python.
+// Always reads as RGBA then strips alpha: PIL's convert("RGB") DROPS
+// alpha rather than compositing, and libpng's simplified RGB read would
+// composite.  Returns negative codes on anything unsupported; the Python
+// binding (utils/native.py) falls back to PIL on any negative.
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <png.h>
+#include <zlib.h>
+
+namespace {
+
+inline void put_be32(uint8_t* p, uint32_t v) {
+  p[0] = uint8_t(v >> 24); p[1] = uint8_t(v >> 16);
+  p[2] = uint8_t(v >> 8);  p[3] = uint8_t(v);
+}
+
+// Append one PNG chunk (length, type, data, crc) at `out`, return new end.
+uint8_t* put_chunk(uint8_t* out, const char type[4], const uint8_t* data,
+                   uint32_t len) {
+  put_be32(out, len);
+  std::memcpy(out + 4, type, 4);
+  if (len) std::memcpy(out + 8, data, len);
+  uint32_t crc = crc32(0L, out + 4, len + 4);
+  put_be32(out + 8 + len, crc);
+  return out + 12 + len;
+}
+
+struct SlabResult {
+  std::vector<uint8_t> bytes;
+  uint32_t adler = 1;
+  size_t raw_len = 0;
+  int err = 0;
+};
+
+// Raw-deflate one slab of the filtered stream.  Non-final slabs end with
+// Z_FULL_FLUSH (byte-aligned, no BFINAL) so outputs concatenate; the final
+// slab ends with Z_FINISH.
+void deflate_slab(const uint8_t* data, size_t len, const uint8_t* dict,
+                  size_t dict_len, int level, bool final, SlabResult* res) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  // windowBits=-15: raw deflate (we write the zlib wrapper ourselves);
+  // memLevel 8/9 default-ish; strategy filtered helps post-Sub data.
+  if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_FILTERED) != Z_OK) {
+    res->err = -10;
+    return;
+  }
+  if (dict_len) deflateSetDictionary(&zs, dict, uInt(dict_len));
+  res->bytes.resize(deflateBound(&zs, uLong(len)) + 64);
+  zs.next_in = const_cast<uint8_t*>(data);
+  zs.avail_in = uInt(len);
+  zs.next_out = res->bytes.data();
+  zs.avail_out = uInt(res->bytes.size());
+  int rc = deflate(&zs, final ? Z_FINISH : Z_FULL_FLUSH);
+  if ((final && rc != Z_STREAM_END) || (!final && rc != Z_OK)) {
+    deflateEnd(&zs);
+    res->err = -11;
+    return;
+  }
+  res->bytes.resize(zs.total_out);
+  deflateEnd(&zs);
+  res->adler = uint32_t(adler32(1L, data, uInt(len)));
+  res->raw_len = len;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Worst-case output size for sr_png_encode's `out` buffer.
+int64_t sr_png_bound(int64_t h, int64_t w) {
+  int64_t raw = h * (1 + w * 4);
+  // stored-block worst case ~ raw*(1+1/16K)+slack, plus container/chunk
+  // overhead (one chunk header per <=4 MB of IDAT) and slab flush bytes.
+  return raw + raw / 1024 + (raw / (4 << 20) + 4) * 12 + 4096;
+}
+
+// (h,w,3) u8 RGB -> RGBA PNG bytes in `out` (caller: cap >= sr_png_bound).
+// level: zlib 0..9 (0 = stored, fastest, no compression).
+// threads: deflate threads (<=0 -> 1).  Returns bytes written, <0 on error.
+int64_t sr_png_encode(const uint8_t* rgb, int64_t h, int64_t w,
+                      int64_t level, int64_t threads, uint8_t* out,
+                      int64_t cap) {
+  if (h <= 0 || w <= 0 || level < 0 || level > 9) return -1;
+  if (cap < sr_png_bound(h, w)) return -2;
+  const size_t stride = 1 + size_t(w) * 4;     // filter byte + RGBA row
+  const size_t raw = size_t(h) * stride;
+
+  // Filter pass: RGB -> RGBA (alpha 255) with per-row filter.
+  // level 0 is stored deflate: filtering would only slow decode, use None.
+  // Two vectorizable passes (expand, then byte-shifted subtract) instead
+  // of one scalar pixel loop: Sub has NO loop-carried dependency when
+  // expressed as out[i] = cur[i] - cur[i-4], and the split let GCC SIMD
+  // both (measured ~2x on the whole encode for photo content).
+  std::vector<uint8_t> filt(raw);
+  const int ftype = level == 0 ? 0 : 1;  // None : Sub
+  std::vector<uint8_t> tmp(ftype ? size_t(w) * 4 : 0);
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* src = rgb + size_t(y) * w * 3;
+    uint8_t* row = filt.data() + size_t(y) * stride;
+    row[0] = uint8_t(ftype);
+    uint8_t* dst = ftype ? tmp.data() : row + 1;
+    for (int64_t x = 0; x < w; ++x) {
+      dst[4 * x + 0] = src[3 * x + 0];
+      dst[4 * x + 1] = src[3 * x + 1];
+      dst[4 * x + 2] = src[3 * x + 2];
+      dst[4 * x + 3] = 255;
+    }
+    if (ftype) {
+      uint8_t* px = row + 1;
+      px[0] = tmp[0]; px[1] = tmp[1]; px[2] = tmp[2]; px[3] = tmp[3];
+      const size_t nb = size_t(w) * 4;
+      for (size_t i = 4; i < nb; ++i) px[i] = uint8_t(tmp[i] - tmp[i - 4]);
+    }
+  }
+
+  // Slab split on row boundaries, >=1 MB per slab (tiny slabs cost
+  // dictionary-priming overhead and compression ratio for no win).
+  size_t nthreads = threads <= 0 ? 1 : size_t(threads);
+  size_t max_slabs = raw / (1 << 20) + 1;
+  if (nthreads > max_slabs) nthreads = max_slabs;
+  size_t rows_per = (size_t(h) + nthreads - 1) / nthreads;
+  std::vector<SlabResult> slabs(nthreads);
+  std::vector<std::thread> pool;
+  size_t row0 = 0;
+  for (size_t t = 0; t < nthreads; ++t) {
+    size_t row1 = row0 + rows_per;
+    if (row1 > size_t(h)) row1 = size_t(h);
+    const uint8_t* p = filt.data() + row0 * stride;
+    size_t len = (row1 - row0) * stride;
+    const uint8_t* dict = nullptr;
+    size_t dict_len = 0;
+    if (t > 0) {
+      dict_len = std::min<size_t>(32768, row0 * stride);
+      dict = p - dict_len;
+    }
+    bool final = (t == nthreads - 1);
+    if (final) {
+      deflate_slab(p, len, dict, dict_len, int(level), true, &slabs[t]);
+    } else {
+      pool.emplace_back(deflate_slab, p, len, dict, dict_len, int(level),
+                        false, &slabs[t]);
+    }
+    row0 = row1;
+  }
+  for (auto& th : pool) th.join();
+
+  size_t zlen = 2;  // zlib header
+  uint32_t adler = 1;
+  for (auto& s : slabs) {
+    if (s.err) return s.err;
+    zlen += s.bytes.size();
+    adler = uint32_t(adler32_combine(adler, s.adler, z_off_t(s.raw_len)));
+  }
+  zlen += 4;  // adler trailer
+
+  // Assemble the file.
+  uint8_t* p = out;
+  static const uint8_t SIG[8] = {0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a};
+  std::memcpy(p, SIG, 8); p += 8;
+  uint8_t ihdr[13];
+  put_be32(ihdr, uint32_t(w));
+  put_be32(ihdr + 4, uint32_t(h));
+  ihdr[8] = 8;   // bit depth
+  ihdr[9] = 6;   // color type RGBA
+  ihdr[10] = 0; ihdr[11] = 0; ihdr[12] = 0;
+  p = put_chunk(p, "IHDR", ihdr, 13);
+
+  // IDAT in <=4 MB chunks straight from the slab buffers (one temp-free
+  // pass; the chunk boundary is independent of slab boundaries).
+  const size_t CHUNK = 4 << 20;
+  std::vector<uint8_t> zhead = {0x78, 0x01};  // CMF/FLG, any level: valid
+  uint8_t trailer[4];
+  put_be32(trailer, adler);
+  // Gather (head, slabs..., trailer) into chunk-sized IDATs.
+  struct Piece { const uint8_t* d; size_t n; };
+  std::vector<Piece> pieces;
+  pieces.push_back({zhead.data(), zhead.size()});
+  for (auto& s : slabs) pieces.push_back({s.bytes.data(), s.bytes.size()});
+  pieces.push_back({trailer, 4});
+  size_t remaining = zlen;
+  size_t pi = 0, off = 0;
+  while (remaining) {
+    size_t this_chunk = remaining < CHUNK ? remaining : CHUNK;
+    // chunk header
+    put_be32(p, uint32_t(this_chunk));
+    std::memcpy(p + 4, "IDAT", 4);
+    uint8_t* data = p + 8;
+    size_t need = this_chunk;
+    while (need) {
+      size_t avail = pieces[pi].n - off;
+      size_t take = avail < need ? avail : need;
+      std::memcpy(data, pieces[pi].d + off, take);
+      data += take; off += take; need -= take;
+      if (off == pieces[pi].n) { ++pi; off = 0; }
+    }
+    uint32_t crc = crc32(0L, p + 4, uInt(this_chunk + 4));
+    put_be32(p + 8 + this_chunk, crc);
+    p += 12 + this_chunk;
+    remaining -= this_chunk;
+  }
+  p = put_chunk(p, "IEND", nullptr, 0);
+  return p - out;
+}
+
+// Parse IHDR: returns 0 and fills hw[0..2] = {h, w, bitdepth ok flag} on a
+// supported file; negative if not a PNG / not 8-bit / malformed.
+int64_t sr_png_info(const uint8_t* data, int64_t n, int64_t* hw) {
+  static const uint8_t SIG[8] = {0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a};
+  if (n < 33 || std::memcmp(data, SIG, 8) != 0) return -1;
+  if (std::memcmp(data + 12, "IHDR", 4) != 0) return -1;
+  uint32_t w = (uint32_t(data[16]) << 24) | (uint32_t(data[17]) << 16) |
+               (uint32_t(data[18]) << 8) | data[19];
+  uint32_t h = (uint32_t(data[20]) << 24) | (uint32_t(data[21]) << 16) |
+               (uint32_t(data[22]) << 8) | data[23];
+  if (!w || !h) return -1;
+  if (data[24] != 8) return -2;  // 16-bit: PIL rounding parity, fall back
+  hw[0] = h;
+  hw[1] = w;
+  return 0;
+}
+
+// Decode an 8-bit PNG to (h,w,3) u8 RGB, dropping alpha (PIL convert("RGB")
+// parity: drop, never composite).  Caller sizes `out` from sr_png_info.
+// Returns 0 ok, negative on error (caller falls back to PIL).
+int64_t sr_png_decode(const uint8_t* data, int64_t n, uint8_t* out,
+                      int64_t h, int64_t w) {
+  png_image image;
+  std::memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&image, data, size_t(n))) return -3;
+  if (int64_t(image.height) != h || int64_t(image.width) != w) {
+    png_image_free(&image);
+    return -4;
+  }
+  // RGBA (no compositing), then strip.  Gray/palette expand inside libpng.
+  image.format = PNG_FORMAT_RGBA;
+  std::vector<uint8_t> rgba(size_t(h) * w * 4);
+  if (!png_image_finish_read(&image, nullptr, rgba.data(), 0, nullptr)) {
+    png_image_free(&image);
+    return -5;
+  }
+  const uint8_t* s = rgba.data();
+  uint8_t* d = out;
+  for (int64_t i = 0, npx = h * w; i < npx; ++i) {
+    d[0] = s[0]; d[1] = s[1]; d[2] = s[2];
+    d += 3; s += 4;
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -373,9 +373,9 @@ def _output_names(paths) -> list:
 class _AsyncWriter:
     """Write-behind PNG encoder pool for folder/watch serving.
 
-    PNG encode runs at ~2.6 MPix/s per host core vs the chip's ~1356 —
-    host encode, not device compute, bounds end-to-end folder serving.
-    Saves run on worker threads (PIL's encoder releases the GIL) while
+    PNG encode bounds end-to-end folder serving, not device compute
+    (native codec ~13-19 MPix/s/core, PIL fallback ~2.6, chip ~1356).
+    Saves run on worker threads (both encoders release the GIL) while
     the device computes later chunks; a bounded pending window
     back-pressures the producer (the tile drain loop) so finished-but-
     unwritten outputs can't pile up on host.  ``finish()`` joins and
@@ -396,7 +396,9 @@ class _AsyncWriter:
 
         def job():
             try:
-                save_image_u8(path, img)
+                # png_threads=1: this pool already parallelises across
+                # images; intra-image deflate threads would oversubscribe.
+                save_image_u8(path, img, png_threads=1)
             finally:
                 self._sem.release()
 

@@ -27,6 +27,27 @@ _tried = False
 _f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
 _u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
 _i64 = ctypes.c_int64
+_i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+
+
+def _make_target(target: str) -> bool:
+    """Build ONE Makefile target under a cross-process flock.
+
+    Per-target (not `make all`): the png codec links system libpng/zlib,
+    and a host missing those dev files must still get the dep-free tileio
+    library.  Caller holds the per-process lock.
+    """
+    if not os.path.isdir(_NATIVE_DIR):
+        return False
+    import fcntl
+    with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, target],
+                           check=True, capture_output=True)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+    return True
 
 
 def _build_and_load():
@@ -46,16 +67,7 @@ def _build_and_load():
             # serialise the build itself with a cross-process flock (the
             # Makefile's tmp+rename makes the final .so atomic, the lock
             # stops N compilers racing on the same tmp-free no-op check).
-            if os.path.isdir(_NATIVE_DIR):
-                import fcntl
-                with open(os.path.join(_NATIVE_DIR, ".build.lock"),
-                          "w") as lk:
-                    fcntl.flock(lk, fcntl.LOCK_EX)
-                    try:
-                        subprocess.run(["make", "-C", _NATIVE_DIR],
-                                       check=True, capture_output=True)
-                    finally:
-                        fcntl.flock(lk, fcntl.LOCK_UN)
+            _make_target("libsrtileio.so")
             lib = ctypes.CDLL(_LIB_PATH)
             lib.sr_gather_tiles.argtypes = [
                 _f32p, _i64, _i64, _i64, _i64, _i64, _i64, _f32p, _f32p, _f32p]
@@ -162,3 +174,91 @@ def rsr_encode(flat: np.ndarray) -> bytes | None:
     out = np.empty(4 + 8 * flat.size, np.uint8)
     lib.rsr_encode(flat, flat.size, out)
     return out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Fast PNG codec (native/pngio.cc) — the folder/watch serving limiter is
+# host PNG encode (PERF.md), so the hot path gets a native one: fixed Sub
+# filter + zlib level 1 + pigz-style parallel deflate.  Every caller falls
+# back to PIL when this returns None (no toolchain / no libpng / odd file).
+
+_PNG_LIB_PATH = os.path.join(_NATIVE_DIR, "libsrpng.so")
+_png_lib = None
+_png_tried = False
+
+
+def _png_load():
+    global _png_lib, _png_tried
+    with _lock:
+        if _png_lib is not None or _png_tried:
+            return _png_lib
+        _png_tried = True
+        try:
+            _make_target("libsrpng.so")
+            lib = ctypes.CDLL(_PNG_LIB_PATH)
+            lib.sr_png_bound.argtypes = [_i64, _i64]
+            lib.sr_png_bound.restype = _i64
+            lib.sr_png_encode.argtypes = [
+                _u8p, _i64, _i64, _i64, _i64, _u8p, _i64]
+            lib.sr_png_encode.restype = _i64
+            lib.sr_png_info.argtypes = [_u8p, _i64, _i64p]
+            lib.sr_png_info.restype = _i64
+            lib.sr_png_decode.argtypes = [_u8p, _i64, _u8p, _i64, _i64]
+            lib.sr_png_decode.restype = _i64
+            _png_lib = lib
+        except (OSError, subprocess.CalledProcessError) as e:
+            err = getattr(e, "stderr", b"") or b""
+            if err:
+                import sys
+                print("warning: native png codec build failed, using PIL "
+                      f"fallback:\n{err.decode(errors='replace')}",
+                      file=sys.stderr)
+            _png_lib = None
+        return _png_lib
+
+
+def png_available() -> bool:
+    return _png_load() is not None
+
+
+def png_encode(rgb: np.ndarray, level: int = 1,
+               threads: int = 0) -> bytes | None:
+    """(H,W,3) u8 -> RGBA PNG bytes; None if the native codec is unavailable.
+
+    level: zlib 0..9 (0 = stored).  threads<=0: one deflate thread per
+    started MB of filtered data, capped at the host's cores (determinism:
+    the byte stream depends on the slab count, which this rule fixes for a
+    given image size and host).
+    """
+    lib = _png_load()
+    if lib is None:
+        return None
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or h == 0 or w == 0:
+        return None
+    if threads <= 0:
+        raw_mb = (h * (1 + 4 * w)) >> 20
+        threads = max(1, min(os.cpu_count() or 1, raw_mb))
+    out = np.empty(int(lib.sr_png_bound(h, w)), np.uint8)
+    n = lib.sr_png_encode(rgb, h, w, int(level), int(threads), out, out.size)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def png_decode(data: bytes) -> np.ndarray | None:
+    """PNG bytes -> (H,W,3) u8 (alpha DROPPED, PIL convert('RGB') parity);
+    None for anything the native path doesn't cover (16-bit, non-PNG...)."""
+    lib = _png_load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    hw = np.zeros(2, np.int64)
+    if lib.sr_png_info(buf, len(data), hw) != 0:
+        return None
+    h, w = int(hw[0]), int(hw[1])
+    out = np.empty((h, w, 3), np.uint8)
+    if lib.sr_png_decode(buf, len(data), out.reshape(-1), h, w) != 0:
+        return None
+    return out

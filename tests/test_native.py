@@ -169,3 +169,128 @@ def test_rsr_codec_fuzz_python_c_agreement(lib_ok):
         assert (pr is None) == (cr is None), (kind, i)
         if pr is not None:
             np.testing.assert_array_equal(pr, cr, err_msg=f"{kind},{i}")
+
+
+# ---------------------------------------------------------------------------
+# Fast PNG codec (native/pngio.cc) — lossless parity with PIL in both
+# directions, plus the imageio wiring that routes the hot serving path
+# through it.
+
+@pytest.fixture(scope="module")
+def png_ok():
+    if not native.png_available():
+        pytest.skip("native png codec unavailable (no toolchain/libpng)")
+    return True
+
+
+def _pil_decode(data: bytes) -> np.ndarray:
+    import io
+    from PIL import Image
+    with Image.open(io.BytesIO(data)) as img:
+        return np.asarray(img.convert("RGB"))
+
+
+def test_png_encode_roundtrip_levels_threads(png_ok):
+    # gradient + noise exercises both the Sub filter and deflate matching;
+    # ragged sizes exercise slab/row boundary math.
+    for h, w in [(1, 1), (1, 97), (63, 1), (41, 53), (257, 129)]:
+        img = (RNG.integers(0, 256, (h, w, 3))).astype(np.uint8)
+        for level in (0, 1, 6):
+            for threads in (1, 3):
+                data = native.png_encode(img, level=level, threads=threads)
+                assert data is not None
+                assert np.array_equal(_pil_decode(data), img), (
+                    f"lossy at {h}x{w} level={level} threads={threads}")
+
+
+def test_png_encode_writes_rgba_alpha_255(png_ok):
+    # reference parity: PNG outputs are RGBA with alpha=255
+    # (reference src/main.rs:175 .to_rgba().save)
+    import io
+    from PIL import Image
+    img = RNG.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    data = native.png_encode(img)
+    with Image.open(io.BytesIO(data)) as out:
+        assert out.mode == "RGBA"
+        a = np.asarray(out)
+    assert (a[..., 3] == 255).all()
+    assert np.array_equal(a[..., :3], img)
+
+
+def test_png_encode_deterministic(png_ok):
+    img = RNG.integers(0, 256, (300, 200, 3)).astype(np.uint8)
+    a = native.png_encode(img, level=1, threads=2)
+    b = native.png_encode(img, level=1, threads=2)
+    assert a == b
+
+
+def test_png_decode_matches_pil_all_modes(png_ok):
+    """Every PIL-writable 8-bit mode: native decode == PIL convert('RGB')."""
+    import io
+    from PIL import Image
+    rgb = RNG.integers(0, 256, (21, 17, 3)).astype(np.uint8)
+    rgba = np.concatenate(
+        [rgb, RNG.integers(0, 256, (21, 17, 1)).astype(np.uint8)], axis=2)
+    cases = {
+        "RGB": Image.fromarray(rgb, "RGB"),
+        "RGBA": Image.fromarray(rgba, "RGBA"),  # alpha DROPPED, not composited
+        "L": Image.fromarray(rgb[..., 0], "L"),
+        "LA": Image.fromarray(np.stack([rgb[..., 0], rgba[..., 3]], -1), "LA"),
+        "P": Image.fromarray(rgb, "RGB").convert(
+            "P", palette=Image.Palette.ADAPTIVE),
+    }
+    for mode, img in cases.items():
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        data = buf.getvalue()
+        want = _pil_decode(data)
+        got = native.png_decode(data)
+        assert got is not None, mode
+        assert np.array_equal(got, want), f"mode {mode} decode mismatch"
+
+
+def test_png_decode_rejects_16bit_and_garbage(png_ok):
+    import io
+    from PIL import Image
+    # 16-bit: PIL and libpng round 16->8 differently; must fall back (None)
+    img16 = Image.fromarray(
+        (RNG.integers(0, 65536, (9, 9))).astype(np.uint16), "I;16")
+    buf = io.BytesIO()
+    img16.save(buf, "PNG")
+    assert native.png_decode(buf.getvalue()) is None
+    assert native.png_decode(b"not a png at all") is None
+    # truncated file: error, not crash
+    ok = native.png_encode(RNG.integers(0, 256, (32, 32, 3)).astype(np.uint8))
+    assert native.png_decode(ok[: len(ok) // 2]) is None
+
+
+def test_imageio_png_routes_native_and_matches_pil(png_ok, tmp_path):
+    """save/load through imageio: native path and PIL agree pixel-exactly,
+    and a PIL-written file reads back identically through the native path."""
+    from rusty_sr_tpu.utils import imageio
+    from PIL import Image
+    img = RNG.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    p = str(tmp_path / "a.png")
+    imageio.save_image_u8(p, img)
+    assert open(p, "rb").read(8) == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(imageio.load_image_u8(p), img)
+    with Image.open(p) as back:          # PIL can read our encoder's output
+        assert np.array_equal(np.asarray(back.convert("RGB")), img)
+    p2 = str(tmp_path / "b.png")
+    Image.fromarray(img, "RGB").convert("RGBA").save(p2)
+    assert np.array_equal(imageio.load_image_u8(p2), img)
+    f = imageio.load_image(p2)
+    assert f.dtype == np.float32
+    assert np.array_equal(f, img.astype(np.float32) / 255.0)
+
+
+def test_imageio_misextensioned_file_falls_back(png_ok, tmp_path):
+    """A JPEG named .png must still load (PIL sniffs content, we only
+    fast-path real PNG signatures)."""
+    from rusty_sr_tpu.utils import imageio
+    from PIL import Image
+    img = np.full((16, 16, 3), 128, np.uint8)
+    p = str(tmp_path / "fake.png")
+    Image.fromarray(img, "RGB").save(p, "JPEG")
+    out = imageio.load_image_u8(p)
+    assert out.shape == (16, 16, 3)
