@@ -76,19 +76,49 @@ void deflate_slab(const uint8_t* data, size_t len, const uint8_t* dict,
   }
   if (dict_len) deflateSetDictionary(&zs, dict, uInt(dict_len));
   res->bytes.resize(deflateBound(&zs, uLong(len)) + 64);
-  zs.next_in = const_cast<uint8_t*>(data);
-  zs.avail_in = uInt(len);
   zs.next_out = res->bytes.data();
-  zs.avail_out = uInt(res->bytes.size());
-  int rc = deflate(&zs, final ? Z_FINISH : Z_FULL_FLUSH);
-  if ((final && rc != Z_STREAM_END) || (!final && rc != Z_OK)) {
-    deflateEnd(&zs);
-    res->err = -11;
-    return;
+  // zlib's avail_in/avail_out and adler32's len are 32-bit: feed/drain in
+  // <=1 GB windows so gigapixel-class slabs (>4 GB filtered) stay correct.
+  size_t fed = 0;
+  uint32_t ad = 1;
+  bool done = false;
+  while (!done) {
+    size_t bite = std::min<size_t>(len - fed, 1u << 30);
+    zs.next_in = const_cast<uint8_t*>(data + fed);
+    zs.avail_in = uInt(bite);
+    ad = uint32_t(adler32(ad, data + fed, uInt(bite)));
+    fed += bite;
+    bool last = fed == len;
+    int flush = last ? (final ? Z_FINISH : Z_FULL_FLUSH) : Z_NO_FLUSH;
+    while (true) {  // drain: deflate may stop on the 1 GB output window
+      size_t used = size_t(zs.next_out - res->bytes.data());
+      zs.avail_out = uInt(std::min<size_t>(res->bytes.size() - used, 1u << 30));
+      if (zs.avail_out == 0) {  // deflateBound sizing makes this unreachable
+        deflateEnd(&zs);
+        res->err = -12;
+        return;
+      }
+      int rc = deflate(&zs, flush);
+      if (rc == Z_STREAM_END) {
+        done = true;
+        break;
+      }
+      if (rc != Z_OK && rc != Z_BUF_ERROR) {
+        deflateEnd(&zs);
+        res->err = -11;
+        return;
+      }
+      // this window is fully processed when input is consumed AND the
+      // output window didn't fill (nothing pending inside zlib)
+      if (zs.avail_in == 0 && zs.avail_out != 0) {
+        done = last && !final;  // FULL_FLUSH complete; FINISH ends above
+        break;
+      }
+    }
   }
-  res->bytes.resize(zs.total_out);
+  res->bytes.resize(size_t(zs.next_out - res->bytes.data()));
   deflateEnd(&zs);
-  res->adler = uint32_t(adler32(1L, data, uInt(len)));
+  res->adler = ad;
   res->raw_len = len;
 }
 
@@ -148,6 +178,7 @@ int64_t sr_png_encode(const uint8_t* rgb, int64_t h, int64_t w,
   size_t nthreads = threads <= 0 ? 1 : size_t(threads);
   size_t max_slabs = raw / (1 << 20) + 1;
   if (nthreads > max_slabs) nthreads = max_slabs;
+  if (nthreads > size_t(h)) nthreads = size_t(h);  // >=1 row per slab
   size_t rows_per = (size_t(h) + nthreads - 1) / nthreads;
   std::vector<SlabResult> slabs(nthreads);
   std::vector<std::thread> pool;

@@ -234,8 +234,10 @@ def png_encode(rgb: np.ndarray, level: int = 1,
     if lib is None:
         return None
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        return None
     h, w = rgb.shape[:2]
-    if rgb.ndim != 3 or rgb.shape[2] != 3 or h == 0 or w == 0:
+    if h == 0 or w == 0:
         return None
     if threads <= 0:
         raw_mb = (h * (1 + 4 * w)) >> 20
