@@ -703,7 +703,7 @@ def run_watch(args) -> int:
           flush=True)
     try:
         while True:
-            batch_paths, batch_imgs = [], []
+            pending = []   # (f, mtime) to process this poll
             for f in list_images(args.INPUT_DIR):
                 try:
                     mt = os.path.getmtime(f)
@@ -716,33 +716,55 @@ def run_watch(args) -> int:
                     fc = 0    # file changed since the failures: retry
                 if fc >= 3:
                     continue
-                try:
-                    batch_imgs.append(load_image_u8(f))
+                pending.append((f, mt))
+            # Decode per LR-byte-bounded group, not the whole poll at
+            # once: a watcher pointed at a large pre-filled folder would
+            # otherwise decode EVERY arrival into host memory before the
+            # first device pass (folder mode's group budget, same bound).
+            pi = 0
+            while pi < len(pending):
+                batch_paths, batch_imgs, used = [], [], 0
+                while pi < len(pending) and (not batch_imgs
+                                             or used < _GROUP_LR_BYTES):
+                    f, mt = pending[pi]
+                    pi += 1
+                    try:
+                        img = load_image_u8(f)
+                    except OSError as e:
+                        # possibly still being written — retry next scans
+                        prev = fails.get(f)
+                        fc = prev[1] if prev and prev[0] == mt else 0
+                        fails[f] = (mt, fc + 1)
+                        if fc + 1 >= 3:
+                            print(f"skipping {f}: {e}", file=sys.stderr)
+                        continue
+                    batch_imgs.append(img)
                     batch_paths.append((f, mt))
-                except OSError as e:
-                    # possibly still being written — retry next scans
-                    fails[f] = (mt, fc + 1)
-                    if fc + 1 >= 3:
-                        print(f"skipping {f}: {e}", file=sys.stderr)
-            if batch_imgs:
+                    used += img.nbytes
+                if not batch_imgs:
+                    continue
                 t0 = time.time()
                 names = [pick_name(f) for f, _ in batch_paths]
                 # PNG encode rides a write-behind pool while later tile
                 # chunks compute (see _AsyncWriter) — the per-image save
                 # fires the moment that image's last tile drains.
                 writer = _AsyncWriter()
-                tiled_sr_batch(tree, batch_imgs, args.factor,
-                               tile=args.tile, chunk=args.chunk,
-                               compute_dtype=compute_dtype,
-                               engine=getattr(args, "engine", "xla"),
-                               int8_cache=int8_cache, mesh=mesh,
-                               on_image_done=lambda j, out: writer.submit(
-                                   os.path.join(args.OUTPUT_DIR, names[j]),
-                                   out),
-                               release_outputs=True)
-                # an unwritable output (disk full, permissions) must not
-                # kill the resident watcher mid-batch: finish() collects
-                failed = {p: e for p, e in writer.finish()}
+                try:
+                    tiled_sr_batch(tree, batch_imgs, args.factor,
+                                   tile=args.tile, chunk=args.chunk,
+                                   compute_dtype=compute_dtype,
+                                   engine=getattr(args, "engine", "xla"),
+                                   int8_cache=int8_cache, mesh=mesh,
+                                   on_image_done=lambda j, out:
+                                   writer.submit(
+                                       os.path.join(args.OUTPUT_DIR,
+                                                    names[j]), out),
+                                   release_outputs=True)
+                finally:
+                    # an unwritable output (disk full, permissions) must
+                    # not kill the resident watcher mid-batch: finish()
+                    # collects (and joins the pool even on a device error)
+                    failed = {p: e for p, e in writer.finish()}
                 n_ok = 0
                 for (f, mt), name in zip(batch_paths, names):
                     e = failed.get(os.path.join(args.OUTPUT_DIR, name))

@@ -97,3 +97,22 @@ def test_train_folder_api(tmp_path):
     assert ck.exists() and ck.stat().st_size == 1_043_676
     assert mf.exists() and mf.read_text().strip()
     assert rusty_sr_tpu.pytree_to_flat(params, 3).shape == (130_459,)
+
+
+def test_train_folder_api_production_recipe_knobs(tmp_path):
+    """The measured production recipe (trunk='packed', batch_size=32 —
+    PERF.md probe50/58) is reachable from the Python API, not just the
+    CLI flags."""
+    import pytest
+    from rusty_sr_tpu.utils.imageio import save_image
+    for i in range(2):
+        save_image(str(tmp_path / f"{i}.png"),
+                   RNG.random((64, 64, 3)).astype(np.float32))
+    params = rusty_sr_tpu.train_folder(str(tmp_path), steps=2,
+                                       trunk="packed", batch_size=2,
+                                       steps_per_dispatch=1)
+    assert rusty_sr_tpu.pytree_to_flat(params, 3).shape == (130_459,)
+    with pytest.raises(ValueError):
+        rusty_sr_tpu.train_folder(str(tmp_path), steps=1, trunk="bogus")
+    with pytest.raises(ValueError):
+        rusty_sr_tpu.train_folder(str(tmp_path), steps=1, batch_size=0)

@@ -219,6 +219,31 @@ def test_watch_once_serves_folder(tmp_path, capsys):
     assert not (dst / "junk.png").exists()
 
 
+def test_watch_once_group_split_bounded_memory(tmp_path, monkeypatch):
+    """The watcher decodes per LR-byte-bounded group (a huge pre-filled
+    folder must not decode whole into host memory before the first
+    device pass): with a budget that forces one image per group, every
+    image is still served, byte-identical to the single-group run."""
+    from rusty_sr_tpu.utils.imageio import save_image, load_image_u8
+    rng = np.random.default_rng(9)
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        save_image(str(src / f"i{i}.png"),
+                   rng.random((11 + i, 9, 3)).astype(np.float32))
+    ref = tmp_path / "ref"
+    assert cli.main(["watch", "--platform", "cpu", "-p", "anime",
+                     "--tile", "16", "--once", str(src), str(ref)]) == 0
+    monkeypatch.setattr(cli, "_GROUP_LR_BYTES", 1)  # 1 image per group
+    dst = tmp_path / "out"
+    assert cli.main(["watch", "--platform", "cpu", "-p", "anime",
+                     "--tile", "16", "--once", str(src), str(dst)]) == 0
+    for i in range(3):
+        np.testing.assert_array_equal(
+            load_image_u8(str(dst / f"i{i}.png")),
+            load_image_u8(str(ref / f"i{i}.png")))
+
+
 def test_watch_bad_input_dir(capsys):
     rc = cli.main(["watch", "--platform", "cpu", "/nonexistent_dir_xyz", "o"])
     assert rc == 1
