@@ -509,7 +509,7 @@ def _run_upscale_folder(args) -> int:
     from rusty_sr_tpu import params as params_lib
     from rusty_sr_tpu.parallel.tiling import tiled_sr_batch
     from rusty_sr_tpu.train.data import list_images
-    from rusty_sr_tpu.utils.imageio import load_image_u8, save_image, save_image_u8
+    from rusty_sr_tpu.utils.imageio import load_image_u8, save_image_u8
 
     files = list_images(args.INPUT_FILE)
     if not files:
@@ -644,8 +644,10 @@ def build_watch_parser() -> argparse.ArgumentParser:
                         "mesh: 'data=N' or just 'N' (batch-of-tiles "
                         "data parallelism; 'xla' engine only)")
     w.add_argument("--metrics", metavar="FILE", default=None,
-                   help="append JSONL serving metrics per poll batch "
-                        "(images, HR MPix, MPix/s, latency, failures)")
+                   help="append JSONL serving metrics per processed "
+                        "batch (images, HR MPix, MPix/s, latency, "
+                        "failures); large polls split into ~128 MB "
+                        "LR groups, one record each")
     w.add_argument("--trace", metavar="DIR", default=None,
                    help="capture an XLA profiler trace of the run to DIR "
                         "(pair with --once for a bounded trace)")
