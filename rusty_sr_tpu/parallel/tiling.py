@@ -680,7 +680,7 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     ``on_image_done(i, out)``: called from the drain loop (caller's
     thread, ascending i) the moment image i's LAST tile is scattered —
     while later chunks are still computing on device.  Host post-work
-    (PNG encode runs ~2.6 MPix/s/core vs the chip's 1356 — it, not the
+    (PNG encode runs 13-19 MPix/s/core vs the chip's 1356 — it, not the
     chip, bounds end-to-end folder serving) overlaps compute instead of
     serialising after it; a callback that blocks (e.g. a bounded writer
     pool) back-pressures dispatch, keeping in-flight memory bounded.  A
