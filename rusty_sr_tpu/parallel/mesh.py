@@ -104,91 +104,15 @@ def tiled_sr_sharded(params, image: np.ndarray, mesh: Mesh, factor: int = 3,
     ``chunk`` is the PER-DEVICE tile count per dispatch (the HBM
     cliff the ladder guards is per chip); default: the measured ladder
     for the packed fast tier, the conservative default otherwise.
+
+    Since round 4 there is ONE sharded tile driver: this delegates to
+    ``tiling.tiled_sr_batch(mesh=...)`` (which folder/watch serving
+    also rides) with a single-image batch — same gather, per-device
+    ladder, kernels, dispatch pipeline and scatter, so outputs remain
+    byte-identical to the single-device path (pinned in
+    tests/test_parallel.py and tests/test_multichip.py).
     """
-    from rusty_sr_tpu.parallel.tiling import (HALO, _DEFAULT_CHUNK,
-                                              _gather_u8, _scatter_u8,
-                                              _pick_chunk, _tile_kernel,
-                                              _tile_kernel_packed,
-                                              packed_trunk_params,
-                                              trunk_params)
-    from rusty_sr_tpu.utils import native
-
-    if out16 is None:   # match the single-chip fast-tier default
-        out16 = compute_dtype is not None
-    params = trunk_params(params)
-    n_data = mesh.shape["data"]
-    u8_io = np.asarray(image).dtype == np.uint8
-    img = np.asarray(image) if u8_io else np.asarray(image, dtype=np.float32)
-    hgt, wid, _ = img.shape
-    h = HALO
-    ny = max(1, -(-hgt // tile))
-    nx = max(1, -(-wid // tile))
-    side = tile + 2 * h
-    n_tiles = ny * nx
-    use_packed = (compute_dtype is not None and u8_io and side % 2 == 0)
-    if u8_io:
-        # packed kernel derives zero-pad tiles on device (edge*mask,
-        # bit-identical — probe55): skip their gather and upload.
-        zt, et, mt = _gather_u8(img, tile, h, ny, nx,
-                                need_zero=not use_packed)
-    else:
-        zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
-    # per-device chunk (single-chip ladder for the packed tier),
-    # replicated over the data axis
-    if chunk is None:
-        chunk = _pick_chunk(max(1, -(-n_tiles // n_data)), tile) \
-            if use_packed else _DEFAULT_CHUNK
-    chunk = n_data * chunk
-    sh = NamedSharding(mesh, P("data", None, None, None))
-    repl = NamedSharding(mesh, P())
-    if use_packed:
-        pp = jax.device_put(packed_trunk_params(params, compute_dtype,
-                                                 factor), repl)
-    params = jax.device_put(params, repl)
-
-    out_dtype = np.uint8 if u8_io else np.float32
-    out = np.zeros((hgt * factor, wid * factor, 3), out_dtype)
-    tf = tile * factor
-    # Dispatch every chunk before the first fetch (same pipeline as
-    # tiled_sr/tiled_sr_batch): a synchronous per-chunk np.asarray would
-    # serialise device compute against the D2H round trips.
-    from collections import deque
-    from rusty_sr_tpu.parallel.tiling import _MAX_INFLIGHT
-    pending: deque = deque()
-
-    def drain_one():
-        start, cnt, res = pending.popleft()
-        if u8_io:
-            _scatter_u8(np.asarray(res[:cnt]), start, nx, tf, out)
-        else:
-            native.scatter_tiles(np.asarray(res[:cnt]), start, nx, out)
-
-    for start in range(0, n_tiles, chunk):
-        stop = min(start + chunk, n_tiles)
-        cnt = stop - start
-        zb = None if zt is None else zt[start:stop]
-        eb, mb = et[start:stop], mt[start:stop]
-        if cnt < chunk:
-            fill = chunk - cnt
-            if zb is not None:
-                zb = np.concatenate(
-                    [zb, np.zeros((fill, side, side, 3), et.dtype)])
-            eb = np.concatenate([eb, np.zeros((fill, side, side, 3), et.dtype)])
-            mb = np.concatenate([mb, np.zeros((fill, side, side, 1), mt.dtype)])
-        if use_packed:
-            res = _tile_kernel_packed(
-                pp, None, jax.device_put(eb, sh),
-                jax.device_put(mb, sh), factor, tile, compute_dtype)
-        else:
-            res = _tile_kernel(params, jax.device_put(zb, sh),
-                               jax.device_put(eb, sh),
-                               jax.device_put(mb, sh),
-                               factor, tile, compute_dtype, u8_io, out16)
-        if hasattr(res, "copy_to_host_async"):
-            res.copy_to_host_async()
-        pending.append((start, cnt, res))
-        if len(pending) >= _MAX_INFLIGHT:
-            drain_one()  # bound in-flight chunk memory (per-chip HBM)
-    while pending:
-        drain_one()
-    return out
+    from rusty_sr_tpu.parallel.tiling import tiled_sr_batch
+    return tiled_sr_batch(params, [np.asarray(image)], factor, tile=tile,
+                          chunk=chunk, compute_dtype=compute_dtype,
+                          out16=out16, mesh=mesh)[0]
