@@ -29,6 +29,7 @@ from rusty_sr_tpu.models.sr_net import (  # noqa: F401
 )
 from rusty_sr_tpu.api import (  # noqa: F401
     upscale,
+    upscale_batch,
     upscale_bilinear,
     downscale,
     train_folder,

@@ -72,6 +72,35 @@ def upscale(image: np.ndarray, weights: Union[str, dict] = "imagenet",
                     compute_dtype=jnp.bfloat16 if fast else None)
 
 
+def upscale_batch(images, weights: Union[str, dict] = "imagenet",
+                  factor: int = 3, *, fast: bool = False,
+                  engine: str = "xla", tile: int = 242,
+                  chunk: Optional[int] = None, mesh=None,
+                  on_image_done=None, release_outputs: bool = False) -> list:
+    """Upscale a list of images, batching tiles ACROSS images — the same
+    driver the folder/watch CLI serving modes ride (per-dispatch fixed
+    costs amortise over the whole set; the reference runs one process
+    per image, src/main.rs:130-178).
+
+    All images must share a dtype (all uint8 or all float; uint8 rides
+    the u8 device-I/O path and returns uint8).  ``mesh``: shard each
+    tile chunk over the mesh's 'data' axis (multi-chip serving; outputs
+    byte-identical to single-device).  ``on_image_done(i, out)`` fires
+    the moment image i finishes — while later tiles still compute — so
+    encode/save work can overlap device compute; with
+    ``release_outputs=True`` the returned list holds None for delivered
+    images (bounded host memory on big sets).
+    """
+    import jax.numpy as jnp
+    from rusty_sr_tpu.parallel.tiling import tiled_sr_batch
+    tree = _resolve_params(weights, factor)
+    return tiled_sr_batch(tree, [np.asarray(im) for im in images], factor,
+                          tile=tile, chunk=chunk, engine=engine, mesh=mesh,
+                          compute_dtype=jnp.bfloat16 if fast else None,
+                          on_image_done=on_image_done,
+                          release_outputs=release_outputs)
+
+
 def upscale_bilinear(image: np.ndarray, factor: int = 3) -> np.ndarray:
     """Gamma-correct bilinear upscale (the reference's `-p bilinear`),
     through the fixed-shape tile path (zero recompiles across sizes).

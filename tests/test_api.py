@@ -84,6 +84,26 @@ def test_downscale_and_bilinear():
     assert up.shape == (9, 12, 3)
 
 
+def test_upscale_batch_api():
+    """Public batched serving entry: matches per-image upscale()
+    byte-for-byte, honours the completion callback + release contract."""
+    imgs = [(RNG.random((h, w, 3)) * 255).astype(np.uint8)
+            for h, w in ((13, 17), (9, 25))]
+    singles = [rusty_sr_tpu.upscale(im, weights="anime", tile=16)
+               for im in imgs]
+    batch = rusty_sr_tpu.upscale_batch(imgs, weights="anime", tile=16)
+    for s, b in zip(singles, batch):
+        np.testing.assert_array_equal(s, b)
+    got = []
+    rel = rusty_sr_tpu.upscale_batch(
+        imgs, weights="anime", tile=16,
+        on_image_done=lambda i, out: got.append((i, out.copy())),
+        release_outputs=True)
+    assert [i for i, _ in got] == [0, 1] and all(r is None for r in rel)
+    for (_, out), s in zip(got, singles):
+        np.testing.assert_array_equal(out, s)
+
+
 def test_train_folder_api(tmp_path):
     from rusty_sr_tpu.utils.imageio import save_image
     for i in range(2):
