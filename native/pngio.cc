@@ -263,8 +263,10 @@ int64_t sr_png_encode(const uint8_t* rgb, int64_t h, int64_t w,
   return p - out;
 }
 
-// Parse IHDR: returns 0 and fills hw[0..2] = {h, w, bitdepth ok flag} on a
-// supported file; negative if not a PNG / not 8-bit / malformed.
+// Parse IHDR: returns 0 and fills hw[0..1] = {h, w} on a supported file;
+// negative if not a PNG / not 8-bit / malformed.  NOTE: h/w come straight
+// from the (untrusted) header — the Python binding caps h*w against PIL's
+// decompression-bomb limit before allocating.
 int64_t sr_png_info(const uint8_t* data, int64_t n, int64_t* hw) {
   static const uint8_t SIG[8] = {0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a};
   if (n < 33 || std::memcmp(data, SIG, 8) != 0) return -1;

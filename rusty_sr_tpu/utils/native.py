@@ -260,6 +260,18 @@ def png_decode(data: bytes) -> np.ndarray | None:
     if lib.sr_png_info(buf, len(data), hw) != 0:
         return None
     h, w = int(hw[0]), int(hw[1])
+    # Decompression-bomb guard: a ~50-byte file can claim gigapixel IHDR
+    # dims; allocating (h,w,3) from them would let a crafted input OOM a
+    # resident watch server.  PIL owns this policy (Image.MAX_IMAGE_PIXELS,
+    # user-overridable) — past its limit, decline so the caller's PIL
+    # fallback applies PIL's exact warn/raise semantics.
+    try:
+        from PIL import Image
+        max_px = Image.MAX_IMAGE_PIXELS
+    except ImportError:          # no PIL: keep a safety net anyway
+        max_px = 0x0fff_ffff     # PIL's default (MAX_IMAGE_PIXELS ~ 178M)
+    if max_px is not None and h * w > max_px:
+        return None
     out = np.empty((h, w, 3), np.uint8)
     if lib.sr_png_decode(buf, len(data), out.reshape(-1), h, w) != 0:
         return None

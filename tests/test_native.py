@@ -294,3 +294,42 @@ def test_imageio_misextensioned_file_falls_back(png_ok, tmp_path):
     Image.fromarray(img, "RGB").save(p, "JPEG")
     out = imageio.load_image_u8(p)
     assert out.shape == (16, 16, 3)
+
+
+def test_png_decode_bomb_guard(png_ok, tmp_path, monkeypatch):
+    """A ~60-byte PNG claiming gigapixel IHDR dims must NOT make the
+    native path allocate h*w*3 — it declines (None) past PIL's
+    MAX_IMAGE_PIXELS so the PIL fallback applies PIL's own
+    decompression-bomb policy (watch mode reads untrusted folders)."""
+    import struct
+    import zlib
+    from PIL import Image
+    from rusty_sr_tpu.utils import imageio
+
+    def chunk(t, d):
+        c = t + d
+        return struct.pack(">I", len(d)) + c + struct.pack(">I", zlib.crc32(c))
+
+    def tiny_png_claiming(w, h):
+        ihdr = struct.pack(">II5B", w, h, 8, 6, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00"))
+                + chunk(b"IEND", b""))
+
+    bomb = tiny_png_claiming(1 << 16, 1 << 16)  # 66 bytes claiming 4.3 Gpx
+    assert native.png_decode(bomb) is None
+    p = str(tmp_path / "bomb.png")
+    with open(p, "wb") as f:
+        f.write(bomb)
+    with pytest.raises(Exception) as exc:  # PIL DecompressionBombError
+        imageio.load_image_u8(p)
+    assert "exceeds limit" in str(exc.value) or "pixels" in str(exc.value)
+
+    # The guard respects a user's PIL override (the documented PIL knob).
+    img = (RNG.integers(0, 256, (32, 32, 3))).astype(np.uint8)
+    data = native.png_encode(img)
+    assert np.array_equal(native.png_decode(data), img)
+    monkeypatch.setattr(Image, "MAX_IMAGE_PIXELS", 100)
+    assert native.png_decode(data) is None      # 1024 px > 100: decline
+    monkeypatch.setattr(Image, "MAX_IMAGE_PIXELS", None)  # None = off
+    assert np.array_equal(native.png_decode(data), img)
