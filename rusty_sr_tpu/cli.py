@@ -206,7 +206,7 @@ def run_upscale(args) -> int:
     from rusty_sr_tpu import params as params_lib
     from rusty_sr_tpu.parallel.tiling import tiled_sr
     from rusty_sr_tpu.utils.imageio import (
-        save_image, load_image_u8, save_image_u8)
+        DECODE_ERRORS, save_image, load_image_u8, save_image_u8)
 
     if args.custom and args.parameters:
         print("error: --custom conflicts with --parameters", file=sys.stderr)
@@ -224,7 +224,7 @@ def run_upscale(args) -> int:
         # Decode once as u8 (the device paths take u8 directly; the f32
         # view is derived only where a path needs it).
         img_u8 = load_image_u8(args.INPUT_FILE)
-    except (OSError, FileNotFoundError) as e:
+    except DECODE_ERRORS as e:
         print(f"Error opening input image file: {e}", file=sys.stderr)
         return 1
     compute_dtype = jnp.bfloat16 if args.fast else None
@@ -434,7 +434,7 @@ def _decoded_groups(files, budget_bytes: int = _GROUP_LR_BYTES):
     import concurrent.futures
     import queue as _q
     import threading
-    from rusty_sr_tpu.utils.imageio import load_image_u8
+    from rusty_sr_tpu.utils.imageio import DECODE_ERRORS, load_image_u8
 
     out_q: "_q.Queue" = _q.Queue(maxsize=1)
     workers = max(1, min(8, (os.cpu_count() or 2)))
@@ -443,7 +443,7 @@ def _decoded_groups(files, budget_bytes: int = _GROUP_LR_BYTES):
         i, f = item
         try:
             return i, load_image_u8(f)
-        except OSError as e:
+        except DECODE_ERRORS as e:
             return i, e
 
     def _producer():
@@ -510,7 +510,8 @@ def _run_upscale_folder(args) -> int:
     from rusty_sr_tpu import params as params_lib
     from rusty_sr_tpu.parallel.tiling import tiled_sr_batch
     from rusty_sr_tpu.train.data import list_images
-    from rusty_sr_tpu.utils.imageio import load_image_u8, save_image_u8
+    from rusty_sr_tpu.utils.imageio import (
+        DECODE_ERRORS, load_image_u8, save_image_u8)
 
     files = list_images(args.INPUT_FILE)
     if not files:
@@ -532,7 +533,7 @@ def _run_upscale_folder(args) -> int:
             try:
                 images.append(load_image_u8(f))
                 keep.append(i)
-            except OSError as e:
+            except DECODE_ERRORS as e:
                 print(f"skipping {f}: {e}", file=sys.stderr)
         if not images:
             print("error: no readable images", file=sys.stderr)
@@ -662,7 +663,8 @@ def run_watch(args) -> int:
     from rusty_sr_tpu import params as params_lib
     from rusty_sr_tpu.parallel.tiling import tiled_sr_batch
     from rusty_sr_tpu.train.data import list_images
-    from rusty_sr_tpu.utils.imageio import load_image_u8, save_image_u8
+    from rusty_sr_tpu.utils.imageio import (
+        DECODE_ERRORS, load_image_u8, save_image_u8)
 
     if args.custom and args.parameters:
         print("error: --custom conflicts with --parameters", file=sys.stderr)
@@ -733,7 +735,7 @@ def run_watch(args) -> int:
                     pi += 1
                     try:
                         img = load_image_u8(f)
-                    except OSError as e:
+                    except DECODE_ERRORS as e:
                         # possibly still being written — retry next scans
                         prev = fails.get(f)
                         fc = prev[1] if prev and prev[0] == mt else 0

@@ -16,7 +16,7 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
-from rusty_sr_tpu.utils.imageio import load_image
+from rusty_sr_tpu.utils.imageio import DECODE_ERRORS, load_image
 
 _IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".gif", ".tif", ".tiff", ".webp"}
 
@@ -89,7 +89,7 @@ class ImageFolderSupplier:
             for i in order:
                 try:
                     img = load_image(self.files[i])
-                except OSError:
+                except DECODE_ERRORS:
                     continue  # unreadable file: skip, like a decode error
                 yielded += 1
                 yield self._crop(img) if self.crop is not None else img
@@ -255,7 +255,7 @@ class CropPipeline:
             from rusty_sr_tpu.utils.imageio import load_image_u8
             try:
                 img = np.ascontiguousarray(load_image_u8(self.files[idx]))
-            except OSError:
+            except DECODE_ERRORS:
                 self._bad.add(idx)
                 return None
             with self._cache_lock:

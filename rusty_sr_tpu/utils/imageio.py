@@ -16,6 +16,15 @@ from PIL import Image
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Exceptions a decode raises for a bad or hostile FILE (as opposed to a
+# bug): PIL wraps unrecognised / truncated files in OSError subclasses,
+# but its decompression-bomb guard raises DecompressionBombError, which
+# subclasses Exception DIRECTLY — a skip-unreadable-files loop that
+# catches OSError alone dies on a crafted gigapixel-header PNG (fatal
+# for the resident `watch` server, which reads untrusted folders).
+# Every CLI / data-pipeline decode site catches this tuple.
+DECODE_ERRORS = (OSError, Image.DecompressionBombError)
+
 
 def _native_png_read(path: str) -> np.ndarray | None:
     """Native fast-path PNG decode (native/pngio.cc): returns (H,W,3) u8 or

@@ -522,3 +522,55 @@ def test_folder_mode_unreadable_only(tmp_path, capsys):
     err = capsys.readouterr().err
     assert rc == 1
     assert "no readable images" in err and "skipping" in err
+
+
+def _bomb_png_bytes() -> bytes:
+    """~66-byte syntactically valid PNG whose IHDR claims 4.3 gigapixels —
+    the decompression-bomb shape (native decode declines past PIL's
+    MAX_IMAGE_PIXELS; the PIL fallback raises DecompressionBombError,
+    which is NOT an OSError)."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        c = t + d
+        return struct.pack(">I", len(d)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">II5B", 1 << 16, 1 << 16, 8, 6, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b""))
+
+
+def test_folder_and_watch_survive_decompression_bomb(tmp_path, capsys):
+    """A crafted gigapixel-header PNG in the input folder is skipped like
+    any unreadable file — it must not kill the run (watch especially:
+    one hostile file in a watched folder would take down the resident
+    server if DecompressionBombError escaped the skip handlers)."""
+    from rusty_sr_tpu.utils.imageio import save_image, load_image_u8
+    rng = np.random.default_rng(11)
+    src = tmp_path / "in"
+    src.mkdir()
+    save_image(str(src / "good.png"), rng.random((12, 10, 3)).astype(np.float32))
+    (src / "bomb.png").write_bytes(_bomb_png_bytes())
+
+    dst = tmp_path / "out"
+    rc = cli.main(["--platform", "cpu", "-p", "anime", "--tile", "16",
+                   str(src), str(dst)])
+    err = capsys.readouterr().err
+    assert rc == 0
+    assert "skipping" in err and "bomb.png" in err
+    assert (dst / "good.png").is_file() and not (dst / "bomb.png").exists()
+
+    dst2 = tmp_path / "out2"
+    rc = cli.main(["watch", "--platform", "cpu", "-p", "anime",
+                   "--tile", "16", "--once", str(src), str(dst2)])
+    assert rc == 0
+    assert (dst2 / "good.png").is_file() and not (dst2 / "bomb.png").exists()
+    np.testing.assert_array_equal(load_image_u8(str(dst2 / "good.png")),
+                                  load_image_u8(str(dst / "good.png")))
+
+    # single-image path: clean diagnostic, no traceback
+    rc = cli.main(["--platform", "cpu", "-p", "anime",
+                   str(src / "bomb.png"), str(tmp_path / "x.png")])
+    assert rc == 1
+    assert "Error opening input image file" in capsys.readouterr().err

@@ -215,3 +215,19 @@ class TestCropPipeline:
         pipe.close()
         rate = n * 32 / dt
         assert rate > 500, f"warm-cache feed rate {rate:.0f} crops/s"
+
+    def test_bomb_file_skipped(self, tmp_path):
+        """A decompression-bomb PNG (DecompressionBombError is NOT an
+        OSError) is marked bad and skipped like any unreadable file —
+        it must not crash the worker pool mid-training."""
+        from tests.test_cli import _bomb_png_bytes
+        from rusty_sr_tpu.train.data import CropPipeline
+        folder = _make_folder(tmp_path, n=3)
+        (tmp_path / "bomb.png").write_bytes(_bomb_png_bytes())
+        pipe = CropPipeline(folder, crop=(16, 16), batch_size=2, seed=3,
+                            workers=4)
+        for _ in range(8):
+            pipe.next_batch()
+        st = pipe.cache_stats()
+        pipe.close()
+        assert st["bad"] == 1 and st["cached"] == 3
