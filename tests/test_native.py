@@ -333,3 +333,26 @@ def test_png_decode_bomb_guard(png_ok, tmp_path, monkeypatch):
     assert native.png_decode(data) is None      # 1024 px > 100: decline
     monkeypatch.setattr(Image, "MAX_IMAGE_PIXELS", None)  # None = off
     assert np.array_equal(native.png_decode(data), img)
+
+
+def test_png_codec_degenerate_sizes(png_ok):
+    """1x1 / 1xN / Nx1 / tiny images survive encode->decode (native and
+    PIL differential) at every level/thread combination — the Sub filter
+    and slab splitter must not assume width or height > 1."""
+    import io
+    from PIL import Image
+    bad = []
+    for h, w in [(1, 1), (1, 7), (7, 1), (1, 513), (513, 1), (2, 2), (3, 5)]:
+        img = RNG.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        for lvl in (1, 6):
+            for thr in (1, 0, 4):
+                data = native.png_encode(img, level=lvl, threads=thr)
+                assert data is not None, (h, w, lvl, thr)
+                out = native.png_decode(data)
+                if out is None or not np.array_equal(out, img):
+                    bad.append((h, w, lvl, thr, "native"))
+                pil = np.asarray(
+                    Image.open(io.BytesIO(data)).convert("RGB")).reshape(h, w, 3)
+                if not np.array_equal(pil, img):
+                    bad.append((h, w, lvl, thr, "pil"))
+    assert not bad, bad
