@@ -267,6 +267,17 @@ int64_t sr_png_encode(const uint8_t* rgb, int64_t h, int64_t w,
 // negative if not a PNG / not 8-bit / malformed.  NOTE: h/w come straight
 // from the (untrusted) header — the Python binding caps h*w against PIL's
 // decompression-bomb limit before allocating.
+//
+// Gamma parity gate: libpng's simplified read API defines 8-bit RGBA
+// output as sRGB-ENCODED, so a file carrying a gAMA chunk meaningfully
+// off the sRGB value (45455) — and no sRGB chunk, which takes precedence
+// per the PNG spec and suppresses the remap — has its sample values
+// gamma-converted by png_image_finish_read.  PIL returns the raw bytes.
+// Such files (e.g. gAMA=1.0 linear-light masters) must fall back to PIL
+// or the documented convert("RGB") parity silently breaks.  libpng skips
+// the remap within ~0.5% of the sRGB gamma (PNG_GAMMA_THRESHOLD), so the
+// common gAMA=45455-alongside-sRGB encoders stay on the fast path.
+// (iCCP is fine: libpng does not apply ICC transforms.)
 int64_t sr_png_info(const uint8_t* data, int64_t n, int64_t* hw) {
   static const uint8_t SIG[8] = {0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a};
   if (n < 33 || std::memcmp(data, SIG, 8) != 0) return -1;
@@ -277,6 +288,29 @@ int64_t sr_png_info(const uint8_t* data, int64_t n, int64_t* hw) {
                (uint32_t(data[22]) << 8) | data[23];
   if (!w || !h) return -1;
   if (data[24] != 8) return -2;  // 16-bit: PIL rounding parity, fall back
+
+  // Walk the pre-IDAT chunk headers for gAMA / sRGB (both must appear
+  // before IDAT per the spec; stop there, or on truncation/overflow —
+  // libpng re-validates the stream in full during the actual decode).
+  bool has_srgb = false;
+  int64_t gama = -1;
+  int64_t p = 8 + 4 + 4 + 13 + 4;  // past IHDR
+  while (p + 8 <= n) {
+    uint32_t len = (uint32_t(data[p]) << 24) | (uint32_t(data[p + 1]) << 16) |
+                   (uint32_t(data[p + 2]) << 8) | data[p + 3];
+    const uint8_t* t = data + p + 4;
+    if (std::memcmp(t, "IDAT", 4) == 0 || std::memcmp(t, "IEND", 4) == 0)
+      break;
+    if (std::memcmp(t, "sRGB", 4) == 0) has_srgb = true;
+    if (std::memcmp(t, "gAMA", 4) == 0 && len == 4 && p + 12 <= n)
+      gama = (int64_t(data[p + 8]) << 24) | (int64_t(data[p + 9]) << 16) |
+             (int64_t(data[p + 10]) << 8) | data[p + 11];
+    if (len > uint32_t(n) || p + 12 + int64_t(len) > n) break;  // truncated
+    p += 12 + int64_t(len);
+  }
+  if (!has_srgb && gama >= 0 && (gama < 45255 || gama > 45655))
+    return -6;  // non-sRGB gamma: libpng would remap, PIL would not
+
   hw[0] = h;
   hw[1] = w;
   return 0;

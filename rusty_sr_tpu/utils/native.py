@@ -268,8 +268,8 @@ def png_decode(data: bytes) -> np.ndarray | None:
     try:
         from PIL import Image
         max_px = Image.MAX_IMAGE_PIXELS
-    except ImportError:          # no PIL: keep a safety net anyway
-        max_px = 0x0fff_ffff     # PIL's default (MAX_IMAGE_PIXELS ~ 178M)
+    except ImportError:                    # no PIL: keep a safety net anyway
+        max_px = 1024 * 1024 * 1024 // 4 // 3  # PIL's default (89,478,485 px)
     if max_px is not None and h * w > max_px:
         return None
     out = np.empty((h, w, 3), np.uint8)

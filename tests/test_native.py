@@ -356,3 +356,44 @@ def test_png_codec_degenerate_sizes(png_ok):
                 if not np.array_equal(pil, img):
                     bad.append((h, w, lvl, thr, "pil"))
     assert not bad, bad
+
+
+def test_png_decode_gamma_chunk_parity(png_ok):
+    """libpng's simplified API sRGB-remaps samples of files carrying a
+    non-sRGB gAMA chunk (no sRGB chunk); PIL returns the raw bytes.  The
+    native path must DECLINE those (PIL fallback keeps decode parity) and
+    keep decoding in-tolerance / sRGB-chunked files natively."""
+    import io
+    import struct
+    import zlib
+    from PIL import Image
+
+    img = RNG.integers(0, 256, (9, 11, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGB").save(buf, "PNG")
+    base = buf.getvalue()
+
+    def with_chunks(chunks):
+        pos = 8 + 4 + 4 + 13 + 4  # after IHDR
+        blob = b""
+        for ctype, cdata in chunks:
+            c = ctype + cdata
+            blob += (struct.pack(">I", len(cdata)) + c
+                     + struct.pack(">I", zlib.crc32(c)))
+        return base[:pos] + blob + base[pos:]
+
+    def gama(v):
+        return (b"gAMA", struct.pack(">I", v))
+
+    srgb = (b"sRGB", b"\x00")
+    # Must decline (libpng would remap, PIL would not):
+    for chunks in ([gama(100000)], [gama(40909)], [gama(50000)]):
+        assert native.png_decode(with_chunks(chunks)) is None, chunks
+    # Must decode natively AND byte-match PIL (no remap happens):
+    for chunks in ([gama(45455)], [srgb, gama(100000)],
+                   [gama(100000), srgb], []):
+        data = with_chunks(chunks)
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        got = native.png_decode(data)
+        assert got is not None and np.array_equal(got, pil), chunks
+        assert np.array_equal(got, img)
