@@ -426,16 +426,22 @@ class _AsyncWriter:
 _GROUP_LR_BYTES = 128 << 20
 
 
-def _decoded_groups(files, budget_bytes: int = _GROUP_LR_BYTES):
+def _decoded_groups(files, budget_bytes: int = None, on_error=None):
     """Yield [(orig_index, u8_image), ...] groups, decoding on a small
     thread pool ONE GROUP AHEAD of the consumer (queue depth 1): group
     k+1 decodes while the device computes group k.  Unreadable files
-    are reported and skipped, matching the eager loop this replaces."""
+    are reported and skipped — ``on_error(index, exc)`` overrides the
+    default stderr report (the watcher's retry bookkeeping; called on
+    the producer thread).  ``budget_bytes`` reads _GROUP_LR_BYTES at
+    CALL time (a def-time default would pin the module value and make
+    test monkeypatching a silent no-op)."""
     import concurrent.futures
     import queue as _q
     import threading
     from rusty_sr_tpu.utils.imageio import DECODE_ERRORS, load_image_u8
 
+    if budget_bytes is None:
+        budget_bytes = _GROUP_LR_BYTES
     out_q: "_q.Queue" = _q.Queue(maxsize=1)
     workers = max(1, min(8, (os.cpu_count() or 2)))
 
@@ -470,8 +476,11 @@ def _decoded_groups(files, budget_bytes: int = _GROUP_LR_BYTES):
                     i, img = futs.popleft().result()
                     refill()
                     if isinstance(img, Exception):
-                        print(f"skipping {files[i]}: {img}",
-                              file=sys.stderr)
+                        if on_error is not None:
+                            on_error(i, img)
+                        else:
+                            print(f"skipping {files[i]}: {img}",
+                                  file=sys.stderr)
                         continue
                     group.append((i, img))
                     used += img.nbytes
@@ -588,7 +597,12 @@ def _run_upscale_folder(args) -> int:
           + (f", sharded over {mesh.shape['data']} devices" if mesh else "")
           + ")...", end="", flush=True)
     writer = _AsyncWriter()
-    int8_cache: dict = {}   # one calibration across all groups
+    # int8 tier: ONE calibration, on the first decode group, frozen for
+    # the rest of the folder (same lifetime semantics as the resident
+    # watch server; deterministic given the sorted file list).  Whole-
+    # folder calibration would need every image decoded up front —
+    # exactly the unbounded-memory shape the group pipeline removes.
+    int8_cache: dict = {}
     n_done = 0
     try:
         for group in _decoded_groups(files):
@@ -663,9 +677,6 @@ def run_watch(args) -> int:
     from rusty_sr_tpu import params as params_lib
     from rusty_sr_tpu.parallel.tiling import tiled_sr_batch
     from rusty_sr_tpu.train.data import list_images
-    from rusty_sr_tpu.utils.imageio import (
-        DECODE_ERRORS, load_image_u8, save_image_u8)
-
     if args.custom and args.parameters:
         print("error: --custom conflicts with --parameters", file=sys.stderr)
         return 2
@@ -722,32 +733,26 @@ def run_watch(args) -> int:
                 if fc >= 3:
                     continue
                 pending.append((f, mt))
-            # Decode per LR-byte-bounded group, not the whole poll at
-            # once: a watcher pointed at a large pre-filled folder would
-            # otherwise decode EVERY arrival into host memory before the
-            # first device pass (folder mode's group budget, same bound).
-            pi = 0
-            while pi < len(pending):
-                batch_paths, batch_imgs, used = [], [], 0
-                while pi < len(pending) and (not batch_imgs
-                                             or used < _GROUP_LR_BYTES):
-                    f, mt = pending[pi]
-                    pi += 1
-                    try:
-                        img = load_image_u8(f)
-                    except DECODE_ERRORS as e:
-                        # possibly still being written — retry next scans
-                        prev = fails.get(f)
-                        fc = prev[1] if prev and prev[0] == mt else 0
-                        fails[f] = (mt, fc + 1)
-                        if fc + 1 >= 3:
-                            print(f"skipping {f}: {e}", file=sys.stderr)
-                        continue
-                    batch_imgs.append(img)
-                    batch_paths.append((f, mt))
-                    used += img.nbytes
-                if not batch_imgs:
-                    continue
+            # Decode per LR-byte-bounded group through the folder path's
+            # decode-ahead pipeline (_decoded_groups): a watcher pointed
+            # at a large pre-filled folder must not decode EVERY arrival
+            # into host memory before the first device pass, and group
+            # k+1 decodes while the device computes group k.
+            def _on_decode_error(i, e, _pending=pending):
+                # possibly still being written — retry next scans (runs
+                # on the producer thread; dict ops are GIL-atomic and a
+                # decode-failed path never also reaches the batch loop)
+                f, mt = _pending[i]
+                prev = fails.get(f)
+                fc = prev[1] if prev and prev[0] == mt else 0
+                fails[f] = (mt, fc + 1)
+                if fc + 1 >= 3:
+                    print(f"skipping {f}: {e}", file=sys.stderr)
+
+            for group in _decoded_groups([f for f, _ in pending],
+                                         on_error=_on_decode_error):
+                batch_paths = [pending[i] for i, _ in group]
+                batch_imgs = [im for _, im in group]
                 t0 = time.time()
                 names = [pick_name(f) for f, _ in batch_paths]
                 # PNG encode rides a write-behind pool while later tile

@@ -690,16 +690,6 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     big folder's finished outputs don't accumulate on host.
     """
     assert engine in ("xla", "int8"), engine
-    n_data = 1
-    if mesh is not None:
-        assert engine == "xla", "mesh sharding supports the xla engine"
-        from jax.sharding import NamedSharding, PartitionSpec
-        n_data = mesh.shape["data"]
-        sh = NamedSharding(mesh, PartitionSpec("data", None, None, None))
-        repl = NamedSharding(mesh, PartitionSpec())
-        base_put = device_put
-        device_put = lambda x: base_put(x, sh)  # noqa: E731
-        params = jax.device_put(trunk_params(params), repl)
     if out16 is None:   # bf16-stage-output default for the fast tier
         out16 = compute_dtype is not None
     if not images:
@@ -711,6 +701,16 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     if not u8_io:
         imgs = [np.asarray(im, np.float32) for im in imgs]
     params = trunk_params(params)
+    n_data = 1
+    if mesh is not None:
+        assert engine == "xla", "mesh sharding supports the xla engine"
+        from jax.sharding import NamedSharding, PartitionSpec
+        n_data = mesh.shape["data"]
+        sh = NamedSharding(mesh, PartitionSpec("data", None, None, None))
+        repl = NamedSharding(mesh, PartitionSpec())
+        base_put = device_put
+        device_put = lambda x: base_put(x, sh)  # noqa: E731
+        params = jax.device_put(params, repl)
     h = HALO
     side = tile + 2 * h
     tf = tile * factor
