@@ -305,7 +305,7 @@ int64_t sr_png_info(const uint8_t* data, int64_t n, int64_t* hw) {
     if (std::memcmp(t, "gAMA", 4) == 0 && len == 4 && p + 12 <= n)
       gama = (int64_t(data[p + 8]) << 24) | (int64_t(data[p + 9]) << 16) |
              (int64_t(data[p + 10]) << 8) | data[p + 11];
-    if (len > uint32_t(n) || p + 12 + int64_t(len) > n) break;  // truncated
+    if (int64_t(len) > n || p + 12 + int64_t(len) > n) break;  // truncated
     p += 12 + int64_t(len);
   }
   if (!has_srgb && gama >= 0 && (gama < 45255 || gama > 45655))

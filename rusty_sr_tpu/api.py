@@ -38,7 +38,12 @@ def upscale(image: np.ndarray, weights: Union[str, dict] = "imagenet",
 
     ``weights``: builtin name ('imagenet', 'imagenetlinear', 'anime'), a
     path to a `.rsr` file, or a param pytree.  ``fast`` switches the conv
-    trunk to bf16 (≤2 u8-code deviation); ``engine`` 'xla' or 'fused'.
+    trunk to bf16 (≤2 u8-code deviation).  ``engine``: 'xla' (the product
+    path), 'fused' (the Pallas trunk kernel — a kept-alive kernel-work
+    vehicle, ~8x slower than the default), or 'int8' (the RETIRED
+    quantised-trunk experiment: PERF.md probe59 measured +4.5% for ~8 dB,
+    so it ships nowhere in the CLI; reachable here for quantisation
+    research only).
 
     A uint8 image is accepted directly (and rides the u8 device-I/O fast
     path; the result is then uint8 too).  Float inputs must already be
@@ -74,7 +79,7 @@ def upscale(image: np.ndarray, weights: Union[str, dict] = "imagenet",
 
 def upscale_batch(images, weights: Union[str, dict] = "imagenet",
                   factor: int = 3, *, fast: bool = False,
-                  engine: str = "xla", tile: int = 242,
+                  tile: int = 242,
                   chunk: Optional[int] = None, mesh=None,
                   on_image_done=None, release_outputs: bool = False) -> list:
     """Upscale a list of images, batching tiles ACROSS images — the same
@@ -95,7 +100,7 @@ def upscale_batch(images, weights: Union[str, dict] = "imagenet",
     from rusty_sr_tpu.parallel.tiling import tiled_sr_batch
     tree = _resolve_params(weights, factor)
     return tiled_sr_batch(tree, [np.asarray(im) for im in images], factor,
-                          tile=tile, chunk=chunk, engine=engine, mesh=mesh,
+                          tile=tile, chunk=chunk, mesh=mesh,
                           compute_dtype=jnp.bfloat16 if fast else None,
                           on_image_done=on_image_done,
                           release_outputs=release_outputs)

@@ -58,12 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(1356 vs ~175 MPix/s on v5e) within the 0.05 dB "
                         "ground-truth quality budget; ~1 u8 code max "
                         "deviation vs exact (PERF.md)")
-    p.add_argument("--engine", choices=["xla", "int8", "fused"], default="xla",
-                   help="device engine. 'int8' and 'fused' are "
-                        "EXPERIMENTAL: int8 (quantised trunk, ~55 dB "
-                        "parity) is slower than --fast AND peaks higher "
-                        "in HBM (its calibration pass, PERF.md probe45b); "
-                        "'fused' is the Pallas trunk kernel")
+    p.add_argument("--engine", choices=["xla", "fused"], default="xla",
+                   help="device engine. 'xla' is the product path; "
+                        "'fused' is the EXPERIMENTAL Pallas trunk kernel "
+                        "— correct but ~8x slower than the default "
+                        "(168 vs 1356 MPix/s on v5e, PERF.md), kept as "
+                        "the kernel-work vehicle. (The int8 trunk was "
+                        "retired: +4.5%% for ~8 dB, PERF.md probe59; "
+                        "it remains a models.quant API experiment.)")
     p.add_argument("--mesh", metavar="SPEC", default=None,
                    help="shard the tile batch over a device mesh: "
                         "'data=N' or just 'N' (batch-of-tiles data "
@@ -304,11 +306,10 @@ def run_upscale(args) -> int:
             print(f"\nerror: --mesh supports the 'xla' engine only "
                   f"(got {args.engine!r})", file=sys.stderr)
             return 2
-        if args.engine in ("xla", "int8"):
+        if args.engine == "xla":
             # u8 tiles end-to-end: 4x less host<->device transfer
             out = tiled_sr(tree, img_u8, args.factor, tile=args.tile,
-                           chunk=args.chunk, compute_dtype=compute_dtype,
-                           engine=args.engine)
+                           chunk=args.chunk, compute_dtype=compute_dtype)
             print(" Writing file...", end="", flush=True)
             try:
                 save_image_u8(args.OUTPUT_FILE, out)
@@ -444,6 +445,21 @@ def _decoded_groups(files, budget_bytes: int = None, on_error=None):
         budget_bytes = _GROUP_LR_BYTES
     out_q: "_q.Queue" = _q.Queue(maxsize=1)
     workers = max(1, min(8, (os.cpu_count() or 2)))
+    # Consumer-abandonment latch: if the generator is closed mid-stream
+    # (GeneratorExit — e.g. tiled_sr_batch raised mid-group in a resident
+    # embedder), the producer must not block forever on the depth-1 queue
+    # holding ~a group of decoded images alive.  All producer puts go
+    # through _put, which polls this event.
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                out_q.put(item, timeout=0.2)
+                return True
+            except _q.Full:
+                continue
+        return False
 
     def _decode(item):
         i, f = item
@@ -465,14 +481,14 @@ def _decoded_groups(files, budget_bytes: int = None, on_error=None):
                 it = iter(enumerate(files))
 
                 def refill():
-                    while len(futs) < 2 * workers:
+                    while len(futs) < 2 * workers and not stop.is_set():
                         try:
                             futs.append(ex.submit(_decode, next(it)))
                         except StopIteration:
                             return
 
                 refill()
-                while futs:
+                while futs and not stop.is_set():
                     i, img = futs.popleft().result()
                     refill()
                     if isinstance(img, Exception):
@@ -485,22 +501,29 @@ def _decoded_groups(files, budget_bytes: int = None, on_error=None):
                     group.append((i, img))
                     used += img.nbytes
                     if used >= budget_bytes:
-                        out_q.put(group)
+                        if not _put(group):
+                            return
                         group, used = [], 0
             if group:
-                out_q.put(group)
-            out_q.put(None)
+                if not _put(group):
+                    return
+            _put(None)
         except BaseException as e:  # propagate to the consumer
-            out_q.put(e)
+            _put(e)
 
     threading.Thread(target=_producer, daemon=True).start()
-    while True:
-        item = out_q.get()
-        if item is None:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = out_q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # GeneratorExit / consumer error: release the producer thread
+        # (and its held group) instead of leaking both.
+        stop.set()
 
 
 def _run_upscale_folder(args) -> int:
@@ -577,16 +600,12 @@ def _run_upscale_folder(args) -> int:
                                        args.factor)
     tree = {k: jnp.asarray(v) for k, v in tree.items()}
     engine = getattr(args, "engine", "xla")
-    if engine not in ("xla", "int8"):
-        print(f"error: folder mode supports --engine xla/int8 "
+    if engine != "xla":
+        print(f"error: folder mode supports --engine xla only "
               f"(got {engine!r})", file=sys.stderr)
         return 2
     mesh = None
     if getattr(args, "mesh", None):
-        if engine != "xla":
-            print(f"error: --mesh supports the 'xla' engine only "
-                  f"(got {engine!r})", file=sys.stderr)
-            return 2
         try:
             mesh = _parse_mesh(args.mesh)
         except (ValueError, AssertionError) as e:
@@ -597,12 +616,6 @@ def _run_upscale_folder(args) -> int:
           + (f", sharded over {mesh.shape['data']} devices" if mesh else "")
           + ")...", end="", flush=True)
     writer = _AsyncWriter()
-    # int8 tier: ONE calibration, on the first decode group, frozen for
-    # the rest of the folder (same lifetime semantics as the resident
-    # watch server; deterministic given the sorted file list).  Whole-
-    # folder calibration would need every image decoded up front —
-    # exactly the unbounded-memory shape the group pipeline removes.
-    int8_cache: dict = {}
     n_done = 0
     try:
         for group in _decoded_groups(files):
@@ -611,7 +624,7 @@ def _run_upscale_folder(args) -> int:
             tiled_sr_batch(
                 tree, imgs, args.factor, tile=args.tile, chunk=args.chunk,
                 compute_dtype=jnp.bfloat16 if args.fast else None,
-                engine=engine, mesh=mesh, int8_cache=int8_cache,
+                mesh=mesh,
                 on_image_done=lambda j, out, _ix=idxs: writer.submit(
                     out_paths[_ix[j]], out),
                 release_outputs=True)
@@ -647,8 +660,6 @@ def build_watch_parser() -> argparse.ArgumentParser:
     w.add_argument("--fast", action="store_true",
                    help="bf16 packed trunk — ~7.7x the exact default "
                         "within the 0.05 dB quality budget (PERF.md)")
-    w.add_argument("--engine", choices=["xla", "int8"], default="xla",
-                   help="device engine (int8: quantised low-memory trunk)")
     w.add_argument("--tile", type=int, default=242)
     w.add_argument("--chunk", type=int, default=None)
     w.add_argument("--poll", type=float, default=1.0,
@@ -693,10 +704,6 @@ def run_watch(args) -> int:
     compute_dtype = jnp.bfloat16 if args.fast else None
     mesh = None
     if getattr(args, "mesh", None):
-        if args.engine != "xla":
-            print(f"error: --mesh supports the 'xla' engine only "
-                  f"(got {args.engine!r})", file=sys.stderr)
-            return 2
         try:
             mesh = _parse_mesh(args.mesh)
         except (ValueError, AssertionError) as e:
@@ -714,13 +721,14 @@ def run_watch(args) -> int:
     # change so a file that was mid-copy for >3 polls is retried once its
     # write completes instead of being blacklisted forever
     pick_name = _StableNamer()  # output names stable for the watcher's life
-    int8_cache: dict = {}  # int8 trunk calibrated once, on the first batch
     print(f"Watching {args.INPUT_DIR} (poll {args.poll}s; Ctrl-C to stop)",
           flush=True)
     try:
         while True:
             pending = []   # (f, mtime) to process this poll
+            current = set()
             for f in list_images(args.INPUT_DIR):
+                current.add(f)
                 try:
                     mt = os.path.getmtime(f)
                 except OSError:
@@ -733,6 +741,14 @@ def run_watch(args) -> int:
                 if fc >= 3:
                     continue
                 pending.append((f, mt))
+            # Bookkeeping stays O(current folder): drop state for files
+            # that no longer exist — a months-long watcher on a churning
+            # folder must not grow its per-file dicts forever.  (Runs
+            # before the decode producer starts, so no thread touches
+            # `fails` concurrently here.)
+            for d in (done, fails):
+                for f in [k for k in d if k not in current]:
+                    del d[f]
             # Decode per LR-byte-bounded group through the folder path's
             # decode-ahead pipeline (_decoded_groups): a watcher pointed
             # at a large pre-filled folder must not decode EVERY arrival
@@ -763,8 +779,7 @@ def run_watch(args) -> int:
                     tiled_sr_batch(tree, batch_imgs, args.factor,
                                    tile=args.tile, chunk=args.chunk,
                                    compute_dtype=compute_dtype,
-                                   engine=getattr(args, "engine", "xla"),
-                                   int8_cache=int8_cache, mesh=mesh,
+                                   mesh=mesh,
                                    on_image_done=lambda j, out:
                                    writer.submit(
                                        os.path.join(args.OUTPUT_DIR,

@@ -652,8 +652,7 @@ def _scatter_u8(res: np.ndarray, start: int, nx: int, tf: int, out: np.ndarray):
 
 def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
                    chunk: Optional[int] = None, compute_dtype=None,
-                   out16=None, engine: str = "xla",
-                   int8_cache: Optional[dict] = None,
+                   out16=None,
                    mesh=None,
                    on_image_done: Optional[Callable] = None,
                    release_outputs: bool = False,
@@ -665,9 +664,10 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     instead of being paid per image — the reference has no analogue (one
     `graph.forward` per process run, src/main.rs:171).  All images must
     share the input dtype (all uint8 or all float).  Returns outputs in
-    input order (uint8 in => uint8 out).  ``engine``: "xla" (exact or
-    fast tier) or "int8" (quantised trunk, calibrated on tiles sampled
-    across the WHOLE batch).
+    input order (uint8 in => uint8 out).  Engines: exact (f32) or fast
+    (``compute_dtype=bf16``) tier only — the int8 trunk was retired from
+    the serving drivers (PERF.md probe59: +4.5% for ~8 dB; it stays an
+    API-level experiment via ``tiled_sr(engine='int8')``).
 
     ``mesh``: shard each tile chunk over the mesh's 'data' axis
     (batch-of-tiles DP for the realistic pod workloads — a folder, a
@@ -689,21 +689,23 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     after the callback (that slot of the returned list is None) so a
     big folder's finished outputs don't accumulate on host.
     """
-    assert engine in ("xla", "int8"), engine
     if out16 is None:   # bf16-stage-output default for the fast tier
         out16 = compute_dtype is not None
     if not images:
         return []
     imgs = [np.asarray(im) for im in images]
     u8_io = imgs[0].dtype == np.uint8
-    assert all((im.dtype == np.uint8) == u8_io for im in imgs), \
-        "all images must share the input dtype"
+    if not all((im.dtype == np.uint8) == u8_io for im in imgs):
+        # public-API contract (upscale_batch): must survive `python -O`,
+        # so not an assert — a mixed u8/f32 list would silently
+        # misclassify images and corrupt outputs
+        raise ValueError("all images in a batch must share the input "
+                         "dtype (uint8 or float)")
     if not u8_io:
         imgs = [np.asarray(im, np.float32) for im in imgs]
     params = trunk_params(params)
     n_data = 1
     if mesh is not None:
-        assert engine == "xla", "mesh sharding supports the xla engine"
         from jax.sharding import NamedSharding, PartitionSpec
         n_data = mesh.shape["data"]
         sh = NamedSharding(mesh, PartitionSpec("data", None, None, None))
@@ -715,7 +717,7 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     side = tile + 2 * h
     tf = tile * factor
 
-    use_packed = (engine == "xla" and compute_dtype is not None and u8_io
+    use_packed = (compute_dtype is not None and u8_io
                   and (tile + 2 * h) % 2 == 0)
     zts, ets, mts, metas = [], [], [], []   # metas: (ny, nx, H, W)
     for img in imgs:
@@ -748,15 +750,7 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     outs = [np.zeros((m[2] * factor, m[3] * factor, 3), out_dtype)
             for m in metas]
 
-    if engine == "int8":
-        # ``int8_cache``: calibration + weight quantisation run once, on
-        # the first batch, and are frozen for the caller's lifetime (the
-        # watch server) — repeat work is skipped AND an input's output no
-        # longer depends on which other images shared its poll batch.
-        q = _int8_trunk(params, zt, n_tiles, chunk, u8_io, int8_cache)
-        run = lambda z, e, m: _tile_kernel_q8(  # noqa: E731
-            q, z, e, m, factor, tile, u8_io)
-    elif use_packed:
+    if use_packed:
         pp = packed_trunk_params(params, compute_dtype, factor)
         if mesh is not None:    # committed replicated weights on the mesh
             pp = jax.device_put(pp, repl)

@@ -85,7 +85,10 @@ def _save_u8(path: str, u8: np.ndarray, png_threads: int = 0) -> None:
                 with open(tmp, "wb") as f:
                     f.write(data)
                 os.replace(tmp, path)
-            except OSError:
+            except BaseException:
+                # BaseException: a KeyboardInterrupt between open and
+                # replace must not strand `<out>.tmp.<pid>` in the output
+                # folder (a resident watcher accumulates them)
                 try:
                     os.unlink(tmp)
                 except OSError:

