@@ -29,20 +29,25 @@ inline int64_t clampi(int64_t v, int64_t lo, int64_t hi) {
 
 extern "C" {
 
-// Gather zero-padded, edge-padded and mask tiles in one pass.
+// Gather zero-padded, edge-padded and mask tiles in one pass, for the
+// tile index range [t0, t1) of the row-major ny*nx grid — output buffers
+// hold (t1-t0) tiles.  Ranged so the tiling drivers can gather per
+// dispatch chunk (O(chunk) host memory at any image size) instead of
+// materialising every tile upfront.
 // zero semantics: out-of-image texels = 0 (conv Same pad at true border).
 // edge semantics: out-of-image texels replicate the nearest edge texel
 // (bilinear clamp).  mask: 1 inside the image else 0.
-void sr_gather_tiles(const float* img, int64_t H, int64_t W, int64_t tile,
-                     int64_t halo, int64_t ny, int64_t nx, float* zero_t,
-                     float* edge_t, float* mask_t) {
+void sr_gather_tiles_range(const float* img, int64_t H, int64_t W,
+                           int64_t tile, int64_t halo, int64_t nx,
+                           int64_t t0, int64_t t1, float* zero_t,
+                           float* edge_t, float* mask_t) {
   const int64_t side = tile + 2 * halo;
-  for (int64_t t = 0; t < ny * nx; ++t) {
+  for (int64_t t = t0; t < t1; ++t) {
     const int64_t iy = t / nx, ix = t % nx;
     const int64_t y0 = iy * tile - halo, x0 = ix * tile - halo;
-    float* zt = zero_t + t * side * side * 3;
-    float* et = edge_t + t * side * side * 3;
-    float* mt = mask_t + t * side * side;
+    float* zt = zero_t + (t - t0) * side * side * 3;
+    float* et = edge_t + (t - t0) * side * side * 3;
+    float* mt = mask_t + (t - t0) * side * side;
     for (int64_t r = 0; r < side; ++r) {
       const int64_t yy = y0 + r;
       const bool y_in = yy >= 0 && yy < H;
@@ -75,6 +80,14 @@ void sr_gather_tiles(const float* img, int64_t H, int64_t W, int64_t tile,
       }
     }
   }
+}
+
+// Whole-grid gather (back-compat entry): the full [0, ny*nx) range.
+void sr_gather_tiles(const float* img, int64_t H, int64_t W, int64_t tile,
+                     int64_t halo, int64_t ny, int64_t nx, float* zero_t,
+                     float* edge_t, float* mask_t) {
+  sr_gather_tiles_range(img, H, W, tile, halo, nx, 0, ny * nx, zero_t,
+                        edge_t, mask_t);
 }
 
 // Scatter a chunk of HR tile results into the output canvas.

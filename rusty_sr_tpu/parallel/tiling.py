@@ -571,19 +571,17 @@ def tiled_simple(image: np.ndarray, factor: int = 3, *, mode: str,
     return out
 
 
-def _int8_trunk(mparams, zt, n_tiles: int, chunk: int, u8_io: bool,
+def _int8_trunk(mparams, sample, u8_io: bool,
                 cache: Optional[dict] = None):
-    """Calibrated int8 trunk from tiles sampled evenly across the
-    image/batch (one exact f32 pass — models/quant).  First-chunk-only
-    sampling under-covers large images (measured ~-9 dB when calibration
-    misses the range, tests/test_quant.py).  ``cache``: caller-owned dict
-    for resident processes — calibration runs once and is frozen."""
+    """Calibrated int8 trunk from ``sample`` (zero-pad tiles sampled
+    evenly across the image; one exact f32 pass — models/quant).
+    First-chunk-only sampling under-covers large images (measured ~-9 dB
+    when calibration misses the range, tests/test_quant.py).  ``cache``:
+    caller-owned dict for resident processes — calibration runs once and
+    is frozen."""
     if cache is not None and "q" in cache:
         return cache["q"]
     from rusty_sr_tpu.models.quant import calibrate_act_scales, quantize_trunk
-    idx = np.unique(np.linspace(0, n_tiles - 1,
-                                min(chunk, n_tiles)).astype(int))
-    sample = zt[idx]
     if u8_io:
         sample = sample.astype(np.float32) / 255.0
     q = quantize_trunk(mparams, calibrate_act_scales(mparams, sample))
@@ -611,31 +609,41 @@ def _gather_edge(img: np.ndarray, tile: int, h: int, ny: int, nx: int):
 
 def _gather_u8(img: np.ndarray, tile: int, h: int, ny: int, nx: int,
                need_zero: bool = True):
-    """uint8 tile gather (zero-pad, edge-pad, mask), numpy host path.
+    """uint8 tile gather (zero-pad, edge-pad, mask) over the whole grid.
     Layout contract (zero/edge/mask ordering, ny*nx row-major slicing)
-    mirrors utils/native.gather_tiles' f32 path — keep them in sync.
+    mirrors utils/native.gather_tiles' f32 path — keep them in sync."""
+    return _gather_u8_range(img, tile, h, nx, 0, ny * nx, need_zero)
+
+
+def _gather_u8_range(img: np.ndarray, tile: int, h: int, nx: int,
+                     t0: int, t1: int, need_zero: bool = True):
+    """uint8 tile gather for the range [t0, t1) of the row-major grid,
+    straight from the UNPADDED image — O(t1-t0) host memory at any image
+    size (no whole-image pad copies; the drivers gather per dispatch
+    chunk, VERDICT r4 #5).  Bytes identical to the full gather's
+    [t0:t1] slice (pinned in tests/test_tiling.py).
     ``need_zero=False`` returns ``zt=None`` (the packed kernel derives
     zero-pad tiles on device as edge*mask, probe55) — skips one third of
     the host gather AND of the H2D upload."""
     hgt, wid, _ = img.shape
-    pad = ((h, h + ny * tile - hgt), (h, h + nx * tile - wid), (0, 0))
-    zero_img = np.pad(img, pad) if need_zero else None
-    edge_img = np.pad(img, pad, mode="edge")
-    mask_img = np.pad(np.ones((hgt, wid, 1), np.uint8), pad)
     side = tile + 2 * h
-    n = ny * nx
-    zt = np.empty((n, side, side, 3), np.uint8) if need_zero else None
+    n = t1 - t0
+    zt = np.zeros((n, side, side, 3), np.uint8) if need_zero else None
     et = np.empty((n, side, side, 3), np.uint8)
-    mt = np.empty((n, side, side, 1), np.uint8)
-    k = 0
-    for iy in range(ny):
-        for ix in range(nx):
-            y0, x0 = iy * tile, ix * tile
-            if need_zero:
-                zt[k] = zero_img[y0:y0 + side, x0:x0 + side]
-            et[k] = edge_img[y0:y0 + side, x0:x0 + side]
-            mt[k] = mask_img[y0:y0 + side, x0:x0 + side]
-            k += 1
+    mt = np.zeros((n, side, side, 1), np.uint8)
+    for k in range(n):
+        iy, ix = divmod(t0 + k, nx)
+        y0, x0 = iy * tile - h, ix * tile - h
+        ylo, yhi = max(y0, 0), min(y0 + side, hgt)
+        xlo, xhi = max(x0, 0), min(x0 + side, wid)
+        sub = img[ylo:yhi, xlo:xhi]
+        ry, rx = ylo - y0, xlo - x0
+        et[k] = np.pad(sub, ((ry, side - ry - sub.shape[0]),
+                             (rx, side - rx - sub.shape[1]), (0, 0)),
+                       mode="edge")
+        if need_zero:
+            zt[k, ry:ry + sub.shape[0], rx:rx + sub.shape[1]] = sub
+        mt[k, ry:ry + sub.shape[0], rx:rx + sub.shape[1]] = 1
     return zt, et, mt
 
 
@@ -719,22 +727,41 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
 
     use_packed = (compute_dtype is not None and u8_io
                   and (tile + 2 * h) % 2 == 0)
-    zts, ets, mts, metas = [], [], [], []   # metas: (ny, nx, H, W)
+    metas = []   # (ny, nx, H, W) per image — shapes only, no tiles yet
     for img in imgs:
         hgt, wid, _ = img.shape
-        ny = max(1, -(-hgt // tile))
-        nx = max(1, -(-wid // tile))
-        if u8_io:
-            zt, et, mt = _gather_u8(img, tile, h, ny, nx,
-                                    need_zero=not use_packed)
-        else:
-            zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
-        zts.append(zt); ets.append(et); mts.append(mt)
-        metas.append((ny, nx, hgt, wid))
-    zt = None if use_packed else np.concatenate(zts)
-    et = np.concatenate(ets); mt = np.concatenate(mts)
+        metas.append((max(1, -(-hgt // tile)), max(1, -(-wid // tile)),
+                      hgt, wid))
     starts = np.cumsum([0] + [m[0] * m[1] for m in metas])  # image offsets
     n_tiles = int(starts[-1])
+
+    def gather_range(g0: int, g1: int):
+        # Per-chunk gather straight from the unpadded images: a chunk may
+        # span image boundaries, so walk the images the global tile range
+        # [g0, g1) intersects and gather each image-local sub-range.
+        # Host tile memory stays O(chunk) however large the images are
+        # (VERDICT r4 #5); byte-identity vs the upfront gather is pinned
+        # in tests/test_tiling.py.
+        zps, eps, mps = [], [], []
+        i = int(np.searchsorted(starts, g0, side="right")) - 1
+        while g0 < g1:
+            lo = g0 - int(starts[i])
+            hi = min(g1, int(starts[i + 1])) - int(starts[i])
+            nx_i = metas[i][1]
+            if u8_io:
+                zp, ep, mp = _gather_u8_range(imgs[i], tile, h, nx_i,
+                                              lo, hi,
+                                              need_zero=not use_packed)
+            else:
+                zp, ep, mp = native.gather_tiles_range(imgs[i], tile, h,
+                                                       nx_i, lo, hi)
+            zps.append(zp); eps.append(ep); mps.append(mp)
+            g0 = int(starts[i + 1])
+            i += 1
+        if len(eps) == 1:
+            return zps[0], eps[0], mps[0]
+        zc = None if zps[0] is None else np.concatenate(zps)
+        return zc, np.concatenate(eps), np.concatenate(mps)
     if chunk is None:
         # The measured ladder is for the packed kernel only (see
         # _CHUNK_T_MS); other tiers keep the conservative default.
@@ -765,18 +792,19 @@ def tiled_sr_batch(params, images, factor: int = 3, *, tile: int = 242,
     remain = [m[0] * m[1] for m in metas]   # undrained tiles per image
     drain_args = (starts, metas, outs, img_state, tf, u8_io,
                   remain, on_image_done, release_outputs)
+    tdt = np.uint8 if u8_io else np.float32
     for g0 in range(0, n_tiles, chunk):
         g1 = min(g0 + chunk, n_tiles)
         cnt = g1 - g0
-        zb = None if zt is None else zt[g0:g1]
-        eb, mb = et[g0:g1], mt[g0:g1]
+        zb, eb, mb = gather_range(g0, g1)
         if cnt < chunk:  # pad the (single) final partial chunk
             fill = chunk - cnt
             if zb is not None:
                 zb = np.concatenate(
-                    [zb, np.zeros((fill, side, side, 3), et.dtype)])
-            eb = np.concatenate([eb, np.zeros((fill, side, side, 3), et.dtype)])
-            mb = np.concatenate([mb, np.zeros((fill, side, side, 1), mt.dtype)])
+                    [zb, np.zeros((fill, side, side, 3), tdt)])
+            eb = np.concatenate([eb, np.zeros((fill, side, side, 3), tdt)])
+            mb = np.concatenate([mb, np.zeros((fill, side, side, 1),
+                                              mb.dtype)])
         res = run(None if zb is None else device_put(zb),
                   device_put(eb), device_put(mb))
         if hasattr(res, "copy_to_host_async"):
@@ -913,18 +941,28 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
         # would overrun HBM at ladder-sized chunks).
         chunk = _pick_chunk(ny * nx, tile) if use_packed else _DEFAULT_CHUNK
 
-    if u8_io:
-        # uint8 end-to-end: 4x less host<->device transfer; conversion to
-        # f32/255 and the final quantisation happen on device.  The
-        # packed kernel derives zero-pad tiles on device (edge*mask,
-        # bit-identical — probe55): skip their gather and upload.
-        zt, et, mt = _gather_u8(img, tile, h, ny, nx,
-                                need_zero=not use_packed)
-    else:
-        zt, et, mt = native.gather_tiles(img, tile, h, ny, nx)
+    def gather_range(g0: int, g1: int):
+        # Per-chunk gather straight from the unpadded image: host memory
+        # stays O(chunk) at any image size (a gigapixel input no longer
+        # materialises ~2.3x its bytes of tiles upfront; VERDICT r4 #5).
+        # u8: 4x less host<->device transfer (f32/255 + final quant run
+        # on device); the packed kernel additionally derives zero-pad
+        # tiles on device (edge*mask, bit-identical — probe55), skipping
+        # one third of the gather AND of the upload.
+        if u8_io:
+            return _gather_u8_range(img, tile, h, nx, g0, g1,
+                                    need_zero=not use_packed)
+        return native.gather_tiles_range(img, tile, h, nx, g0, g1)
 
     if engine == "int8":
-        q = _int8_trunk(trunk_params(params), zt, ny * nx, chunk, u8_io)
+        # Calibration tiles sampled evenly across the whole image
+        # (first-chunk-only sampling measured ~-9 dB, tests/test_quant):
+        # gathered individually so streaming still never materialises
+        # the full tile set.
+        idx = np.unique(np.linspace(0, ny * nx - 1,
+                                    min(chunk, ny * nx)).astype(int))
+        sample = np.concatenate([gather_range(i, i + 1)[0] for i in idx])
+        q = _int8_trunk(trunk_params(params), sample, u8_io)
         run = lambda z, e, mk: _tile_kernel_q8(  # noqa: E731
             q, z, e, mk, factor, tile, u8_io)
     elif engine == "fused":
@@ -960,8 +998,10 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
     out = np.zeros((hgt * factor, wid * factor, 3), out_dtype)
     # Dispatch all chunks first (jax dispatch is async), then fetch+scatter:
     # overlaps device compute/transfer across chunks instead of paying a
-    # full round-trip per chunk.
-    tdt = et.dtype
+    # full round-trip per chunk.  Each chunk's tiles are gathered right
+    # before its dispatch (while earlier chunks compute on device), so
+    # host tile memory never exceeds ~_MAX_INFLIGHT chunks.
+    tdt = img.dtype if u8_io else np.float32
     tf = tile * factor
     pending: deque = deque()
 
@@ -975,15 +1015,14 @@ def tiled_sr(params, image: np.ndarray, factor: int = 3, *, tile: int = 242,
     for start in range(0, n_tiles, chunk):
         stop = min(start + chunk, n_tiles)
         cnt = stop - start
-        zb = None if zt is None else zt[start:stop]
-        eb, mb = et[start:stop], mt[start:stop]
+        zb, eb, mb = gather_range(start, stop)
         if cnt < chunk:  # pad last chunk: one executable total
             fill = chunk - cnt
             if zb is not None:
                 zb = np.concatenate(
                     [zb, np.zeros((fill, side, side, 3), tdt)])
             eb = np.concatenate([eb, np.zeros((fill, side, side, 3), tdt)])
-            mb = np.concatenate([mb, np.zeros((fill, side, side, 1), mt.dtype)])
+            mb = np.concatenate([mb, np.zeros((fill, side, side, 1), mb.dtype)])
         res = run(None if zb is None else device_put(zb),
                   device_put(eb), device_put(mb))
         if hasattr(res, "copy_to_host_async"):

@@ -417,3 +417,111 @@ def test_on_image_done_exception_propagates(anime_params):
     with pytest.raises(OSError, match="disk full"):
         tiled_sr_batch(anime_params, imgs, 3, tile=18, chunk=2,
                        on_image_done=boom)
+
+
+# ---- streamed (per-chunk) tile gather: VERDICT r4 #5 ----------------------
+
+def _gather_u8_whole_image_pad(img, tile, h, ny, nx, need_zero=True):
+    """Reference implementation: the pre-round-5 whole-image-pad gather.
+    The ranged gather must reproduce it byte-for-byte."""
+    hgt, wid, _ = img.shape
+    pad = ((h, h + ny * tile - hgt), (h, h + nx * tile - wid), (0, 0))
+    zero_img = np.pad(img, pad) if need_zero else None
+    edge_img = np.pad(img, pad, mode="edge")
+    mask_img = np.pad(np.ones((hgt, wid, 1), np.uint8), pad)
+    side = tile + 2 * h
+    n = ny * nx
+    zt = np.empty((n, side, side, 3), np.uint8) if need_zero else None
+    et = np.empty((n, side, side, 3), np.uint8)
+    mt = np.empty((n, side, side, 1), np.uint8)
+    k = 0
+    for iy in range(ny):
+        for ix in range(nx):
+            y0, x0 = iy * tile, ix * tile
+            if need_zero:
+                zt[k] = zero_img[y0:y0 + side, x0:x0 + side]
+            et[k] = edge_img[y0:y0 + side, x0:x0 + side]
+            mt[k] = mask_img[y0:y0 + side, x0:x0 + side]
+            k += 1
+    return zt, et, mt
+
+
+def test_ranged_u8_gather_matches_whole_pad_fuzz():
+    """_gather_u8_range (per-tile windows, no whole-image pad copies)
+    must be bytewise identical to the whole-image-pad reference at fuzz
+    geometries, for arbitrary sub-ranges and both need_zero modes."""
+    from rusty_sr_tpu.parallel.tiling import _gather_u8_range
+    rng = np.random.default_rng(11)
+    for hgt, wid, tile, h in [(37, 61, 16, 7), (10, 10, 16, 7),
+                              (1, 1, 16, 7), (50, 8, 24, 7),
+                              (48, 48, 16, 3), (33, 95, 20, 7)]:
+        img = rng.integers(0, 256, (hgt, wid, 3), dtype=np.uint8)
+        ny = max(1, -(-hgt // tile))
+        nx = max(1, -(-wid // tile))
+        n = ny * nx
+        for need_zero in (True, False):
+            want = _gather_u8_whole_image_pad(img, tile, h, ny, nx,
+                                              need_zero)
+            t0 = int(rng.integers(0, n))
+            t1 = int(rng.integers(t0 + 1, n + 1))
+            got = _gather_u8_range(img, tile, h, nx, t0, t1, need_zero)
+            if need_zero:
+                np.testing.assert_array_equal(got[0], want[0][t0:t1])
+            else:
+                assert got[0] is None and want[0] is None
+            np.testing.assert_array_equal(got[1], want[1][t0:t1])
+            np.testing.assert_array_equal(got[2], want[2][t0:t1])
+
+
+def test_ranged_f32_gather_matches_full_fuzz():
+    """native.gather_tiles_range (C++ and numpy-fallback layouts are the
+    same contract) must equal the full gather's [t0:t1] slice."""
+    from rusty_sr_tpu.utils import native
+    rng = np.random.default_rng(13)
+    for hgt, wid, tile in [(37, 61, 16), (9, 30, 12), (1, 5, 8)]:
+        img = rng.random((hgt, wid, 3), dtype=np.float32)
+        ny = max(1, -(-hgt // tile))
+        nx = max(1, -(-wid // tile))
+        n = ny * nx
+        zt, et, mt = native.gather_tiles(img, tile, HALO, ny, nx)
+        t0 = int(rng.integers(0, n))
+        t1 = int(rng.integers(t0 + 1, n + 1))
+        z2, e2, m2 = native.gather_tiles_range(img, tile, HALO, nx, t0, t1)
+        np.testing.assert_array_equal(z2, zt[t0:t1])
+        np.testing.assert_array_equal(e2, et[t0:t1])
+        np.testing.assert_array_equal(m2, mt[t0:t1])
+
+
+def test_tiled_sr_host_memory_bounded(anime_params, monkeypatch):
+    """Single-image host memory is O(output + chunk), not O(tiles): a
+    large input must not materialise the ~2.3x-image-bytes tile set the
+    pre-round-5 upfront gather built.  The device kernel is stubbed (the
+    bound under test is the HOST gather, and CPU conv on a 24 MPix image
+    would dominate the suite's runtime)."""
+    import tracemalloc
+    from rusty_sr_tpu.parallel import tiling
+
+    hgt, wid, tile, chunk = 4096, 6144, 242, 8
+    img = np.ones((hgt, wid, 3), np.uint8)        # 75.5 MB LR
+
+    tf = tile * 3
+
+    def fake_kernel(pp, z, e, m, factor, tile_, cd):
+        return np.zeros((e.shape[0], tf, tf, 3), np.uint8)
+
+    monkeypatch.setattr(tiling, "_tile_kernel_packed", fake_kernel)
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    out = tiling.tiled_sr(anime_params, img, 3, tile=tile, chunk=chunk,
+                          compute_dtype=jnp.bfloat16,
+                          device_put=lambda x: x)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert out.shape == (hgt * 3, wid * 3, 3)
+    out_bytes = out.nbytes                        # 679 MB HR canvas
+    lr_bytes = img.nbytes
+    # Upfront gather would add >= 1.3x LR bytes of tiles (edge+mask) on
+    # top of the canvas; streamed gather holds only ~chunk tiles (plus
+    # the _MAX_INFLIGHT stub results this CPU test keeps on host).
+    budget = out_bytes + lr_bytes // 2 + (64 << 20)
+    assert peak < budget, (peak, budget)
