@@ -135,6 +135,7 @@ def train_folder(folder: str, *, steps: Optional[int] = None,
                  resume_from: Optional[str] = None,
                  amp: bool = False, precision: str = "highest",
                  trunk: str = "merged", batch_size: Optional[int] = None,
+                 crop: Optional[int] = None, remat: bool = False,
                  steps_per_dispatch: Optional[int] = None,
                  data_workers: Optional[int] = None,
                  seed: int = 0):
@@ -149,6 +150,10 @@ def train_folder(folder: str, *, steps: Optional[int] = None,
     probe50/58/51) vs the reference defaults ('merged', 4);
     ``steps_per_dispatch`` scans N optimizer steps inside one device
     dispatch (default 10, clamped to the ckpt/val cadences);
+    ``crop`` is the HR crop side (reference hardcodes 192,
+    src/main.rs:187 — must be a multiple of the factor; even LR crop
+    for the packed trunk); ``remat`` rematerialises the forward in the
+    backward (jax.checkpoint) for large crops/batches;
     ``data_workers`` sizes the host decode/crop pool (default: CPU
     count, capped — see train.data.CropPipeline)."""
     from rusty_sr_tpu.train.data import CropPipeline, list_images
@@ -167,6 +172,15 @@ def train_folder(folder: str, *, steps: Optional[int] = None,
         if steps_per_dispatch < 1:
             raise ValueError("steps_per_dispatch must be >= 1")
         cfg.steps_per_dispatch = steps_per_dispatch
+    if crop is not None:
+        if crop < factor or crop % factor:
+            raise ValueError(f"crop must be a positive multiple of the "
+                             f"factor {factor} (got {crop})")
+        if trunk == "packed" and (crop // factor) % 2:
+            raise ValueError(f"trunk='packed' needs an even LR crop "
+                             f"(crop {crop} / factor {factor} is odd)")
+        cfg.crop = crop
+    cfg.remat = remat
     buf = CropPipeline(folder, recurse=recurse, crop=(cfg.crop, cfg.crop),
                        batch_size=cfg.batch_size, seed=seed,
                        workers=data_workers,

@@ -151,6 +151,17 @@ def build_train_parser() -> argparse.ArgumentParser:
                         "reference-parity class) or 'high' (3-pass, "
                         "~f32-mantissa class, +15%% step rate); ignored "
                         "with --amp")
+    t.add_argument("--crop", type=int, default=None, metavar="N",
+                   help="HR training crop side (reference hardcodes 192, "
+                        "src/main.rs:187 — generalised like the factor "
+                        "flag). Must be divisible by the factor, and give "
+                        "an even LR crop for --trunk packed. Larger crops "
+                        "raise MXU utilisation per step at more HBM "
+                        "(PERF.md crop-shape curve; pair with --remat)")
+    t.add_argument("--remat", action="store_true",
+                   help="rematerialise the forward in the backward pass "
+                        "(jax.checkpoint): trades ~1/3 more FLOPs for "
+                        "activation HBM — for large --crop/--batch")
     t.add_argument("--batch", type=int, default=None,
                    help="batch size (reference default 4); must divide "
                         "evenly over the mesh 'data' axis")
@@ -894,6 +905,18 @@ def run_train(args) -> int:
                   file=sys.stderr)
             return 2
         cfg.batch_size = args.batch
+    if getattr(args, "crop", None) is not None:
+        if args.crop < cfg.factor or args.crop % cfg.factor:
+            print(f"error: --crop must be a positive multiple of the "
+                  f"factor {cfg.factor} (got {args.crop})", file=sys.stderr)
+            return 2
+        if cfg.trunk == "packed" and (args.crop // cfg.factor) % 2:
+            print(f"error: --trunk packed needs an even LR crop "
+                  f"(--crop {args.crop} / factor {cfg.factor} = "
+                  f"{args.crop // cfg.factor}, odd)", file=sys.stderr)
+            return 2
+        cfg.crop = args.crop
+    cfg.remat = bool(getattr(args, "remat", False))
 
     import jax
     nproc = jax.process_count()

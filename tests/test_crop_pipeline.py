@@ -231,3 +231,16 @@ class TestCropPipeline:
         st = pipe.cache_stats()
         pipe.close()
         assert st["bad"] == 1 and st["cached"] == 3
+
+    def test_worker_count_invariance_nondefault_crop(self, tmp_path):
+        """The single-RNG crop plan is worker-invariant at ANY window
+        size (plan entries carry normalized u_y/u_x — the --crop flag,
+        VERDICT r4 #4, only changes the window)."""
+        from rusty_sr_tpu.train.data import CropPipeline
+        folder = _make_folder(tmp_path)
+        a = _collect(CropPipeline(folder, crop=(28, 28), batch_size=3,
+                                  seed=7, workers=1), 8)
+        b = _collect(CropPipeline(folder, crop=(28, 28), batch_size=3,
+                                  seed=7, workers=8), 8)
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (8, 3, 28, 28, 3)
