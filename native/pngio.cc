@@ -28,6 +28,7 @@
 // composite.  Returns negative codes on anything unsupported; the Python
 // binding (utils/native.py) falls back to PIL on any negative.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -122,6 +123,407 @@ void deflate_slab(const uint8_t* data, size_t len, const uint8_t* dict,
   res->raw_len = len;
 }
 
+// ---- fast-Huffman deflate (fpnge-class, VERDICT r4 #2) --------------------
+//
+// zlib level 1 still pays the full deflate machinery (hash chains, match
+// search, lazy evaluation) per byte; on Sub-filtered scanlines nearly all
+// of the compression comes from (a) entropy-coding the residual bytes and
+// (b) collapsing runs of identical bytes (flat regions filter to zero
+// runs).  So this codec does exactly those two things and nothing else:
+// ONE dynamic-Huffman deflate block per slab, literals plus distance-1
+// matches for runs >= 3, emitted through a 64-bit bit buffer.  Each slab
+// is self-contained (the first byte of a run is always a literal, so no
+// window crosses slab boundaries) and ends byte-aligned (Z_FULL_FLUSH
+// sync pattern), so slabs concatenate into one valid raw-deflate stream
+// exactly like the zlib path.  A slab whose Huffman coding would exceed
+// stored size falls back to stored blocks (bound safety on adversarial
+// input).
+namespace fh {
+
+struct BitWriter {
+  uint8_t* out;
+  size_t pos = 0;
+  uint64_t acc = 0;
+  unsigned n = 0;  // bits pending in acc (< 8 after flush)
+  // LSB-first, cnt <= 40 total pending: branch-free flush — speculatively
+  // store 8 bytes of acc (little-endian hosts; the build is -march=native
+  // on x86) and advance by the whole bytes completed.  Callers guarantee
+  // >= 8 bytes of slack in `out` (slab buffers reserve 64).
+  inline void put(uint32_t bits, unsigned cnt) {
+    acc |= uint64_t(bits) << n;
+    n += cnt;
+    std::memcpy(out + pos, &acc, 8);
+    pos += n >> 3;
+    acc >>= (n & ~7u);
+    n &= 7;
+  }
+  // batched variant: cnt <= 56 (pending n <= 7 keeps the total < 64)
+  inline void put64(uint64_t bits, unsigned cnt) {
+    acc |= bits << n;
+    n += cnt;
+    std::memcpy(out + pos, &acc, 8);
+    pos += n >> 3;
+    acc >>= (n & ~7u);
+    n &= 7;
+  }
+  inline void align() {
+    if (n) {
+      out[pos++] = uint8_t(acc);
+      acc = 0;
+      n = 0;
+    }
+  }
+};
+
+inline uint32_t bitrev(uint32_t v, unsigned bits) {
+  uint32_t r = 0;
+  for (unsigned i = 0; i < bits; ++i) r = (r << 1) | ((v >> i) & 1);
+  return r;
+}
+
+// Deflate length codes 257..285: base length and extra bits.
+static const uint16_t LEN_BASE[29] = {3,  4,  5,  6,  7,  8,  9,  10,
+                                      11, 13, 15, 17, 19, 23, 27, 31,
+                                      35, 43, 51, 59, 67, 83, 99, 115,
+                                      131, 163, 195, 227, 258};
+static const uint8_t LEN_EXTRA[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1,
+                                      1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+                                      4, 4, 4, 4, 5, 5, 5, 5, 0};
+
+inline int len_code_index(unsigned run) {  // run in [3, 258]
+  // branchless-enough table walk (29 entries, called per match only)
+  int c = 28;
+  while (LEN_BASE[c] > run) --c;
+  return c;
+}
+
+// Code lengths for `n` symbols with the given frequencies, max `limit`
+// bits.  O(m^2) pair-merge Huffman (m <= 286 used symbols, built once
+// per slab — negligible next to the megabytes of payload); overlong
+// trees are fixed by halving the frequencies and rebuilding (monotonic:
+// depths shrink every retry).  Deterministic (lowest-index tie-breaks).
+void build_lengths(const uint64_t* freq_in, int n, int limit, uint8_t* len) {
+  std::vector<uint64_t> f(freq_in, freq_in + n);
+  std::vector<int> sym;
+  for (;;) {
+    sym.clear();
+    for (int i = 0; i < n; ++i)
+      if (f[i]) sym.push_back(i);
+    std::memset(len, 0, size_t(n));
+    const int m = int(sym.size());
+    if (m == 0) return;
+    if (m == 1) {
+      len[sym[0]] = 1;
+      return;
+    }
+    const int total = 2 * m - 1;
+    std::vector<uint64_t> w(static_cast<size_t>(total), 0);
+    std::vector<int> parent(static_cast<size_t>(total), -1);
+    std::vector<char> act(static_cast<size_t>(total), 0);
+    for (int i = 0; i < m; ++i) {
+      w[i] = f[sym[i]];
+      act[i] = 1;
+    }
+    int nn = m, remaining = m;
+    while (remaining > 1) {
+      int a = -1, b = -1;
+      for (int i = 0; i < nn; ++i) {
+        if (!act[i]) continue;
+        if (a < 0 || w[i] < w[a]) {
+          b = a;
+          a = i;
+        } else if (b < 0 || w[i] < w[b]) {
+          b = i;
+        }
+      }
+      w[nn] = w[a] + w[b];
+      act[a] = act[b] = 0;
+      act[nn] = 1;
+      parent[a] = nn;
+      parent[b] = nn;
+      ++nn;
+      --remaining;
+    }
+    int maxd = 0;
+    for (int i = 0; i < m; ++i) {
+      int d = 0, j = i;
+      while (parent[j] >= 0) {
+        j = parent[j];
+        ++d;
+      }
+      len[sym[i]] = uint8_t(d);
+      if (d > maxd) maxd = d;
+    }
+    if (maxd <= limit) return;
+    for (int i = 0; i < n; ++i)
+      if (f[i]) f[i] = (f[i] >> 1) + 1;  // flatten and retry
+  }
+}
+
+// Canonical code assignment (RFC 1951 §3.2.2), pre-reversed for the
+// LSB-first bit stream.
+void assign_codes(const uint8_t* len, int n, uint16_t* code) {
+  int bl_count[16] = {0};
+  for (int i = 0; i < n; ++i) ++bl_count[len[i]];
+  bl_count[0] = 0;
+  uint32_t next[16] = {0};
+  uint32_t c = 0;
+  for (int bits = 1; bits <= 15; ++bits) {
+    c = (c + uint32_t(bl_count[bits - 1])) << 1;
+    next[bits] = c;
+  }
+  for (int i = 0; i < n; ++i)
+    code[i] = len[i] ? uint16_t(bitrev(next[len[i]]++, len[i])) : 0;
+}
+
+// Walk the slab once, firing lit(byte) / match(run in [3,258]) exactly as
+// the encoder will emit them — the histogram and the emit pass share this
+// so the two can never disagree.
+template <class Lit, class Match>
+inline void scan(const uint8_t* d, size_t len, Lit lit, Match match) {
+  size_t i = 0;
+  while (i < len) {
+    const uint8_t b = d[i];
+    lit(b);
+    ++i;
+    while (i < len && d[i] == b) {
+      size_t run = 1;
+      const size_t lim = std::min<size_t>(len - i, 258);
+      while (run < lim && d[i + run] == b) ++run;
+      if (run < 3) break;  // the outer loop emits the stragglers
+      match(unsigned(run));
+      i += run;
+    }
+  }
+}
+
+// Emit the dynamic-Huffman block header (HLIT/HDIST/HCLEN + code-length
+// code + RLE-coded lengths, RFC 1951 §3.2.7).
+void put_dynamic_header(BitWriter& bw, const uint8_t* llen, int nlit,
+                        const uint8_t* dlen, int ndist) {
+  // concatenated code-length sequence with 16/17/18 RLE
+  struct Item { uint8_t sym; uint8_t extra_bits; uint16_t extra; };
+  std::vector<Item> seq;
+  std::vector<uint8_t> all(size_t(nlit + ndist));
+  std::memcpy(all.data(), llen, size_t(nlit));
+  std::memcpy(all.data() + nlit, dlen, size_t(ndist));
+  const int tot = nlit + ndist;
+  for (int i = 0; i < tot;) {
+    const uint8_t v = all[i];
+    int run = 1;
+    while (i + run < tot && all[i + run] == v) ++run;
+    if (v == 0) {
+      while (run >= 11) {
+        const int take = std::min(run, 138);
+        seq.push_back({18, 7, uint16_t(take - 11)});
+        run -= take;
+        i += take;
+      }
+      while (run >= 3) {
+        const int take = std::min(run, 10);
+        seq.push_back({17, 3, uint16_t(take - 3)});
+        run -= take;
+        i += take;
+      }
+      while (run-- > 0) {
+        seq.push_back({0, 0, 0});
+        ++i;
+      }
+    } else {
+      seq.push_back({v, 0, 0});
+      --run;
+      ++i;
+      while (run >= 3) {
+        const int take = std::min(run, 6);
+        seq.push_back({16, 2, uint16_t(take - 3)});
+        run -= take;
+        i += take;
+      }
+      while (run-- > 0) {
+        seq.push_back({v, 0, 0});
+        ++i;
+      }
+    }
+  }
+  uint64_t clfreq[19] = {0};
+  for (const auto& it : seq) ++clfreq[it.sym];
+  uint8_t cllen[19];
+  uint16_t clcode[19];
+  build_lengths(clfreq, 19, 7, cllen);
+  assign_codes(cllen, 19, clcode);
+  static const uint8_t ORDER[19] = {16, 17, 18, 0, 8,  7, 9,  6, 10, 5,
+                                    11, 4,  12, 3, 13, 2, 14, 1, 15};
+  int ncl = 19;
+  while (ncl > 4 && cllen[ORDER[ncl - 1]] == 0) --ncl;
+  bw.put(uint32_t(nlit - 257), 5);
+  bw.put(uint32_t(ndist - 1), 5);
+  bw.put(uint32_t(ncl - 4), 4);
+  for (int i = 0; i < ncl; ++i) bw.put(cllen[ORDER[i]], 3);
+  for (const auto& it : seq) {
+    bw.put(clcode[it.sym], cllen[it.sym]);
+    if (it.extra_bits) bw.put(it.extra, it.extra_bits);
+  }
+}
+
+// Stored-block fallback: len bytes as raw <=65535-byte blocks.
+void put_stored(BitWriter& bw, const uint8_t* d, size_t len, bool final) {
+  size_t i = 0;
+  do {
+    const size_t take = std::min<size_t>(len - i, 65535);
+    const bool last = final && (i + take == len);
+    bw.put(last ? 1u : 0u, 1);
+    bw.put(0, 2);  // BTYPE=00
+    bw.align();
+    bw.put(uint32_t(take) & 0xff, 8);
+    bw.put((uint32_t(take) >> 8) & 0xff, 8);
+    bw.put(uint32_t(take ^ 0xffff) & 0xff, 8);
+    bw.put((uint32_t(take ^ 0xffff) >> 8) & 0xff, 8);
+    std::memcpy(bw.out + bw.pos, d + i, take);
+    bw.pos += take;
+    i += take;
+  } while (i < len);
+}
+
+// Compress one slab (self-contained; byte-aligned at exit).
+void fh_slab(const uint8_t* data, size_t len, bool final, SlabResult* res) {
+  // adler over the raw slab, in <=1 GB windows (32-bit API)
+  uint32_t ad = 1;
+  for (size_t fed = 0; fed < len;) {
+    const size_t bite = std::min<size_t>(len - fed, 1u << 30);
+    ad = uint32_t(adler32(ad, data + fed, uInt(bite)));
+    fed += bite;
+  }
+  res->adler = ad;
+  res->raw_len = len;
+  // output bound: stored fallback + sync/pad slack
+  res->bytes.resize(len + len / 65535 * 5 + 64);
+  BitWriter bw{res->bytes.data()};
+
+  // Pass 1: SAMPLED histogram — every 8th 4 KB block (deterministic).
+  // Counts only tune the code lengths; symbol coverage is guaranteed by
+  // +1 smoothing on every literal/length symbol, so the emitter can
+  // never produce a code-less symbol.  (A full-pass histogram measured
+  // ~25-40% of encode wall-clock for ~1% ratio; probe61.)
+  uint64_t lfreq[286];
+  for (int i = 0; i < 286; ++i) lfreq[i] = 1;
+  uint64_t dfreq = 1;
+  uint64_t sample_bits = 0;  // entropy-ish estimate, filled after codes
+  size_t sampled = 0;
+  const size_t BLK = 4096;
+  for (size_t off = 0; off < len; off += 8 * BLK) {
+    const size_t end = std::min(len, off + BLK);
+    sampled += end - off;
+    scan(data + off, end - off,
+         [&](uint8_t b) { ++lfreq[b]; },
+         [&](unsigned run) {
+           ++lfreq[257 + len_code_index(run)];
+           ++dfreq;
+         });
+  }
+  uint8_t llen[286];
+  uint16_t lcode[286];
+  build_lengths(lfreq, 286, 15, llen);
+  assign_codes(llen, 286, lcode);
+  const uint8_t dlen[1] = {1};
+  const uint16_t dcode[1] = {0};
+
+  for (int s = 0; s < 286; ++s) sample_bits += (lfreq[s] - 1) * llen[s];
+  const uint64_t est_bytes =
+      sampled ? sample_bits * ((len + sampled - 1) / sampled) / 8 : 0;
+  bool stored = len == 0 || est_bytes + 512 >= len;
+  if (!stored) {
+    int nlit = 286;
+    while (nlit > 257 && llen[nlit - 1] == 0) --nlit;
+    bw.put(final ? 1u : 0u, 1);
+    bw.put(2, 2);  // BTYPE=10 dynamic
+    put_dynamic_header(bw, llen, nlit, dlen, 1);
+    // Guarded emit (hand-scheduled hot loop — the token stream need not
+    // match the sampling scan, only be valid deflate): literals batch up
+    // to three codes into one 64-bit put; runs of >= 4 identical bytes
+    // take the match path (literal + dist-1 matches, chained for runs
+    // past 258).  The histogram is sampled, so the true coded size is
+    // only known here — if it ever nears stored size, abandon and
+    // rewrite the slab as stored blocks (bound safety; pathological
+    // inputs only pay one wasted pass).
+    const size_t guard = len > 64 ? len - 64 : 0;
+    bool overflow = false;
+    const uint8_t* d = data;
+    // packed literal table: code | (len << 16) — one load per literal
+    uint32_t ltab[256];
+    for (int s = 0; s < 256; ++s)
+      ltab[s] = uint32_t(lcode[s]) | (uint32_t(llen[s]) << 16);
+    auto run_at = [&](size_t j) -> bool {  // 4 equal bytes at j?
+      uint32_t v;
+      std::memcpy(&v, d + j, 4);
+      return v == uint32_t(d[j]) * 0x01010101u;
+    };
+    size_t i = 0;
+    while (i < len) {
+      if (bw.pos >= guard) {
+        overflow = true;
+        break;
+      }
+      if (i + 4 > len) {  // tail: plain literals
+        const uint32_t e = ltab[d[i]];
+        bw.put(e & 0xffff, e >> 16);
+        ++i;
+        continue;
+      }
+      const uint8_t b = d[i];
+      if (run_at(i)) {
+        const uint32_t e = ltab[b];
+        bw.put(e & 0xffff, e >> 16);
+        ++i;
+        for (;;) {
+          const size_t lim = std::min<size_t>(len - i, 258);
+          size_t run = 1;
+          while (run < lim && d[i + run] == b) ++run;
+          if (run < 3) break;  // stragglers exit as literals
+          const int c = len_code_index(unsigned(run));
+          bw.put(lcode[257 + c], llen[257 + c]);
+          if (LEN_EXTRA[c])
+            bw.put(uint32_t(run) - LEN_BASE[c], LEN_EXTRA[c]);
+          bw.put(dcode[0], dlen[0]);
+          i += run;
+          if (i >= len || d[i] != b) break;
+        }
+        continue;
+      }
+      uint32_t e = ltab[b];
+      uint64_t bits = e & 0xffff;
+      unsigned cnt = e >> 16;
+      ++i;
+      for (int k = 0; k < 2 && i + 4 <= len && !run_at(i); ++k) {
+        e = ltab[d[i]];
+        bits |= uint64_t(e & 0xffff) << cnt;
+        cnt += e >> 16;
+        ++i;
+      }
+      bw.put64(bits, cnt);
+    }
+    if (overflow) {
+      bw.pos = 0;
+      bw.acc = 0;
+      bw.n = 0;
+      stored = true;
+    } else {
+      bw.put(lcode[256], llen[256]);  // end of block
+      if (!final) {
+        // Z_FULL_FLUSH sync: empty stored block, leaves us byte-aligned.
+        bw.put(0, 1);
+        bw.put(0, 2);
+        bw.align();
+        bw.put(0x0000, 16);
+        bw.put(0xffff, 16);
+      }
+    }
+  }
+  if (stored) put_stored(bw, data, len, final);
+  bw.align();
+  res->bytes.resize(bw.pos);
+}
+
+}  // namespace fh
 }  // namespace
 
 extern "C" {
@@ -136,11 +538,15 @@ int64_t sr_png_bound(int64_t h, int64_t w) {
 
 // (h,w,3) u8 RGB -> RGBA PNG bytes in `out` (caller: cap >= sr_png_bound).
 // level: zlib 0..9 (0 = stored, fastest, no compression).
-// threads: deflate threads (<=0 -> 1).  Returns bytes written, <0 on error.
-int64_t sr_png_encode(const uint8_t* rgb, int64_t h, int64_t w,
-                      int64_t level, int64_t threads, uint8_t* out,
-                      int64_t cap) {
+// threads: deflate threads (<=0 -> 1).
+// codec: 0 = zlib deflate at `level`; 1 = fast-Huffman deflate (fh::,
+//        `level` ignored except 0 which still means stored/None-filter).
+// Returns bytes written, <0 on error.
+int64_t sr_png_encode2(const uint8_t* rgb, int64_t h, int64_t w,
+                       int64_t level, int64_t threads, int64_t codec,
+                       uint8_t* out, int64_t cap) {
   if (h <= 0 || w <= 0 || level < 0 || level > 9) return -1;
+  if (codec != 0 && codec != 1) return -1;
   if (cap < sr_png_bound(h, w)) return -2;
   const size_t stride = 1 + size_t(w) * 4;     // filter byte + RGBA row
   const size_t raw = size_t(h) * stride;
@@ -190,12 +596,18 @@ int64_t sr_png_encode(const uint8_t* rgb, int64_t h, int64_t w,
     size_t len = (row1 - row0) * stride;
     const uint8_t* dict = nullptr;
     size_t dict_len = 0;
-    if (t > 0) {
+    if (t > 0 && codec == 0) {  // fh slabs are self-contained, no window
       dict_len = std::min<size_t>(32768, row0 * stride);
       dict = p - dict_len;
     }
     bool final = (t == nthreads - 1);
-    if (final) {
+    if (codec == 1 && level != 0) {
+      if (final) {
+        fh::fh_slab(p, len, true, &slabs[t]);
+      } else {
+        pool.emplace_back(fh::fh_slab, p, len, false, &slabs[t]);
+      }
+    } else if (final) {
       deflate_slab(p, len, dict, dict_len, int(level), true, &slabs[t]);
     } else {
       pool.emplace_back(deflate_slab, p, len, dict, dict_len, int(level),
@@ -261,6 +673,13 @@ int64_t sr_png_encode(const uint8_t* rgb, int64_t h, int64_t w,
   }
   p = put_chunk(p, "IEND", nullptr, 0);
   return p - out;
+}
+
+// Back-compat entry: zlib codec.
+int64_t sr_png_encode(const uint8_t* rgb, int64_t h, int64_t w,
+                      int64_t level, int64_t threads, uint8_t* out,
+                      int64_t cap) {
+  return sr_png_encode2(rgb, h, w, level, threads, 0, out, cap);
 }
 
 // Parse IHDR: returns 0 and fills hw[0..1] = {h, w} on a supported file;

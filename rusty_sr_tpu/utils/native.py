@@ -214,6 +214,9 @@ def _png_load():
             lib.sr_png_encode.argtypes = [
                 _u8p, _i64, _i64, _i64, _i64, _u8p, _i64]
             lib.sr_png_encode.restype = _i64
+            lib.sr_png_encode2.argtypes = [
+                _u8p, _i64, _i64, _i64, _i64, _i64, _u8p, _i64]
+            lib.sr_png_encode2.restype = _i64
             lib.sr_png_info.argtypes = [_u8p, _i64, _i64p]
             lib.sr_png_info.restype = _i64
             lib.sr_png_decode.argtypes = [_u8p, _i64, _u8p, _i64, _i64]
@@ -235,17 +238,24 @@ def png_available() -> bool:
 
 
 def png_encode(rgb: np.ndarray, level: int = 1,
-               threads: int = 0) -> bytes | None:
+               threads: int = 0, codec: str = "fh") -> bytes | None:
     """(H,W,3) u8 -> RGBA PNG bytes; None if the native codec is unavailable.
 
-    level: zlib 0..9 (0 = stored).  threads<=0: one deflate thread per
-    started MB of filtered data, capped at the host's cores (determinism:
-    the byte stream depends on the slab count, which this rule fixes for a
-    given image size and host).
+    codec: "fh" (default) — the fast-Huffman deflate (one dynamic-Huffman
+    block per slab, literals + dist-1 runs, no zlib state machine;
+    PERF.md probe61: ~3x zlib-L1 throughput at comparable size on photo
+    content); "zlib" — zlib deflate at `level` (0..9, 0 = stored; kept
+    for ratio-sensitive callers and as the measured reference point).
+    threads<=0: one deflate thread per started MB of filtered data,
+    capped at the host's cores (determinism: the byte stream depends on
+    the slab count, which this rule fixes for a given image size and
+    host).
     """
     lib = _png_load()
     if lib is None:
         return None
+    if codec not in ("zlib", "fh"):
+        raise ValueError(f"codec must be 'zlib' or 'fh', got {codec!r}")
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         return None
@@ -256,7 +266,8 @@ def png_encode(rgb: np.ndarray, level: int = 1,
         raw_mb = (h * (1 + 4 * w)) >> 20
         threads = max(1, min(os.cpu_count() or 1, raw_mb))
     out = np.empty(int(lib.sr_png_bound(h, w)), np.uint8)
-    n = lib.sr_png_encode(rgb, h, w, int(level), int(threads), out, out.size)
+    n = lib.sr_png_encode2(rgb, h, w, int(level), int(threads),
+                           1 if codec == "fh" else 0, out, out.size)
     if n < 0:
         return None
     return out[:n].tobytes()

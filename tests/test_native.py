@@ -397,3 +397,46 @@ def test_png_decode_gamma_chunk_parity(png_ok):
         got = native.png_decode(data)
         assert got is not None and np.array_equal(got, pil), chunks
         assert np.array_equal(got, img)
+
+
+def test_png_encode_fh_codec_lossless_fuzz(png_ok):
+    """Round-5 fast-Huffman codec (the default; PERF.md probe61 —
+    ~3.6x zlib-L1 at ~0.88x file size on the serving payload class):
+    lossless through PIL at fuzz geometries and content classes, for
+    both codecs explicitly, any thread count."""
+    rng = np.random.default_rng(61)
+    cases = []
+    for h, w in [(1, 1), (2, 3), (17, 31), (257, 129), (100, 300)]:
+        cases.append(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        cases.append(np.zeros((h, w, 3), np.uint8))
+        g = np.linspace(0, 255, h * w * 3).reshape(h, w, 3)
+        cases.append(g.astype(np.uint8))
+    big = np.zeros((600, 40, 3), np.uint8)  # >258-byte zero runs + slabs
+    big[300:] = 77
+    cases.append(big)
+    for img in cases:
+        for codec in ("fh", "zlib"):
+            for threads in (1, 3):
+                data = native.png_encode(img, codec=codec, threads=threads)
+                assert data is not None
+                assert np.array_equal(_pil_decode(data), img)
+
+
+def test_png_encode_fh_deterministic_and_smaller(png_ok):
+    """fh byte-determinism for a given (input, threads); on photo-class
+    content its files must not regress past the documented ~1.1x of the
+    zlib-L1 size (probe61 measured ~0.88x — this is a loose tripwire)."""
+    from PIL import Image
+    img = np.asarray(Image.open(
+        "/root/reference/docs/bank_rs.png").convert("RGB"))
+    a = native.png_encode(img, codec="fh", threads=2)
+    b = native.png_encode(img, codec="fh", threads=2)
+    assert a == b
+    z = native.png_encode(img, codec="zlib", level=1, threads=2)
+    assert len(a) < 1.1 * len(z), (len(a), len(z))
+
+
+def test_png_encode_rejects_bad_codec(png_ok):
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        native.png_encode(np.zeros((4, 4, 3), np.uint8), codec="lz4")
