@@ -138,6 +138,7 @@ def train_folder(folder: str, *, steps: Optional[int] = None,
                  crop: Optional[int] = None, remat: bool = False,
                  steps_per_dispatch: Optional[int] = None,
                  data_workers: Optional[int] = None,
+                 max_rss_gb: Optional[float] = None,
                  seed: int = 0):
     """Train on an image folder with the reference protocol; returns params.
 
@@ -211,6 +212,7 @@ def train_folder(folder: str, *, steps: Optional[int] = None,
                           param_file=param_file, val_images=val_images,
                           max_steps=steps, metrics_file=metrics_file,
                           native_ckpt_dir=ckpt_dir, resume_from=resume_from,
+                          max_rss_gb=max_rss_gb,
                           seed=seed)
     finally:
         buf.close()

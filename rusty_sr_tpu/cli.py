@@ -179,6 +179,14 @@ def build_train_parser() -> argparse.ArgumentParser:
                         "clamped to divide the ckpt/val cadences; 1 "
                         "disables — per-step host dispatch costs ~30%% of "
                         "a step at the reference batch, PERF.md probe47)")
+    t.add_argument("--max_rss_gb", type=float, default=None, metavar="G",
+                   help="leak-tolerant long runs: when host RSS crosses G "
+                        "GB, checkpoint and exit rc 75 (resume with "
+                        "--resume; supervise with `until rusty-sr train "
+                        "... --ckpt_dir ck --resume ck --max_rss_gb G; do "
+                        ":; done`). Exists because this environment's "
+                        "tunneled TPU backend leaks host memory per "
+                        "transfer (PERF.md round 5)")
     t.add_argument("--data_workers", type=int, default=None, metavar="N",
                    help="host decode/crop worker threads feeding the "
                         "device (default: CPU count, capped at 16); the "
@@ -736,30 +744,7 @@ def run_watch(args) -> int:
           flush=True)
     try:
         while True:
-            pending = []   # (f, mtime) to process this poll
-            current = set()
-            for f in list_images(args.INPUT_DIR):
-                current.add(f)
-                try:
-                    mt = os.path.getmtime(f)
-                except OSError:
-                    continue
-                if done.get(f) == mt:
-                    continue
-                fmt, fc = fails.get(f, (None, 0))
-                if fmt is not None and fmt != mt:
-                    fc = 0    # file changed since the failures: retry
-                if fc >= 3:
-                    continue
-                pending.append((f, mt))
-            # Bookkeeping stays O(current folder): drop state for files
-            # that no longer exist — a months-long watcher on a churning
-            # folder must not grow its per-file dicts forever.  (Runs
-            # before the decode producer starts, so no thread touches
-            # `fails` concurrently here.)
-            for d in (done, fails):
-                for f in [k for k in d if k not in current]:
-                    del d[f]
+            pending = _watch_scan(args.INPUT_DIR, done, fails)
             # Decode per LR-byte-bounded group through the folder path's
             # decode-ahead pipeline (_decoded_groups): a watcher pointed
             # at a large pre-filled folder must not decode EVERY arrival
@@ -836,6 +821,42 @@ def run_watch(args) -> int:
     finally:
         if mf is not None:
             mf.close()
+
+
+def _watch_scan(input_dir: str, done: dict, fails: dict) -> list:
+    """One watch poll: list the folder, decide what to (re)process, and
+    prune bookkeeping to the CURRENT folder contents.
+
+    ``done`` maps path -> processed mtime; ``fails`` maps path ->
+    (mtime, attempt count), resetting when the mtime changes so a file
+    that was mid-copy for >3 polls is retried once its write completes.
+    Entries for files no longer present are dropped every poll — a
+    months-long watcher on a churning folder keeps O(current folder)
+    state (pinned in tests/test_cli.py).  Runs before the decode
+    producer starts, so nothing touches ``fails`` concurrently here.
+    """
+    from rusty_sr_tpu.train.data import list_images
+
+    pending = []   # (f, mtime) to process this poll
+    current = set()
+    for f in list_images(input_dir):
+        current.add(f)
+        try:
+            mt = os.path.getmtime(f)
+        except OSError:
+            continue
+        if done.get(f) == mt:
+            continue
+        fmt, fc = fails.get(f, (None, 0))
+        if fmt is not None and fmt != mt:
+            fc = 0    # file changed since the failures: retry
+        if fc >= 3:
+            continue
+        pending.append((f, mt))
+    for d in (done, fails):
+        for f in [k for k in d if k not in current]:
+            del d[f]
+    return pending
 
 
 def run_train(args) -> int:
@@ -985,6 +1006,7 @@ def run_train(args) -> int:
                 return
             yield b
 
+    from rusty_sr_tpu.train.loop import RssBudgetExceeded
     try:
         train_loop(cfg, batches(), start_params=start,
                    param_file=args.PARAMETER_FILE if is_main else None,
@@ -1001,8 +1023,14 @@ def run_train(args) -> int:
                    # primary writes) — pass the dir on ALL processes.
                    native_ckpt_dir=args.ckpt_dir,
                    resume_from=resume_from,
+                   max_rss_gb=getattr(args, "max_rss_gb", None),
                    log=print if is_main else (lambda s: None),
                    mesh=mesh)
+    except RssBudgetExceeded as e:
+        # Clean leak-tolerant stop: checkpoints are saved; rc 75
+        # (EX_TEMPFAIL) tells a supervisor loop to relaunch with --resume.
+        print(f"{e}", file=sys.stderr)
+        return 75
     except OSError as e:
         # reference: expect("Could not make parameter file"), src/main.rs:212
         print(f"Could not make parameter file: {e}", file=sys.stderr)

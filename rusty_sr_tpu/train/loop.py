@@ -289,6 +289,33 @@ def _np_make_lr(hr: np.ndarray, f: int) -> np.ndarray:
     return _np_linear_to_srgb(lin)
 
 
+class RssBudgetExceeded(RuntimeError):
+    """Raised by train_loop AFTER saving final checkpoints when the
+    host-RSS budget (``max_rss_gb``) is crossed — the run is cleanly
+    resumable with ``--resume``.  Exists because this environment's
+    tunneled TPU backend leaks host memory 1:1 with every H2D/D2H
+    transfer (PERF.md round 5: ~3.5 MB/step at the production recipe —
+    the 100k-step protocol run OOM'd at ~36k steps without a budget),
+    so long runs restart themselves instead of meeting the OOM killer:
+
+        until rusty-sr train out.rsr DATA --ckpt_dir ck --resume ck \\
+              --max_rss_gb 80 ...; do :; done
+
+    (budget exit = rc 75 / this exception; completion = rc 0).
+    """
+
+    def __init__(self, step: int, rss_gb: float):
+        super().__init__(
+            f"host RSS {rss_gb:.1f} GB crossed the budget at step {step}; "
+            "checkpoints saved — restart with --resume to continue")
+        self.step = step
+
+
+def _host_rss_gb() -> float:
+    import resource
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20)
+
+
 def _host_tree(tree):
     """Host-local numpy copy of a (possibly multi-host global) tree.
 
@@ -359,6 +386,7 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
                native_ckpt_dir: Optional[str] = None,
                resume_from: Optional[str] = None,
                validate: Optional[bool] = None,
+               max_rss_gb: Optional[float] = None,
                seed: int = 0):
     """Run the reference's training protocol; returns final params.
 
@@ -377,6 +405,10 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
     dispatch-group size and gates a collective param gather, while
     ``val_images`` (the data) lives on the main host only.  Defaults to
     ``bool(val_images)``, which is only correct single-host.
+    ``max_rss_gb``: leak-tolerant long runs — when host RSS crosses the
+    budget, save final checkpoints and raise :class:`RssBudgetExceeded`
+    (see its docstring: this environment's tunneled backend leaks host
+    memory per transfer; a supervisor loop restarts with ``--resume``).
     """
     import json
     import time as _time
@@ -551,9 +583,20 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
     while cad % spd:
         spd -= 1
     multi_fn = None
+    rss_stop = None
     it = iter(train_batches)
     try:
         while step < budget_steps:
+            # step > start_step: each leg makes at least one step of
+            # progress even if it starts over budget, so a supervisor
+            # `until ...; do :; done` loop always terminates.
+            if max_rss_gb is not None and step > start_step \
+                    and _host_rss_gb() > max_rss_gb:
+                rss_stop = _host_rss_gb()
+                log(f"host RSS {rss_stop:.1f} GB > budget {max_rss_gb} GB "
+                    f"at step {step} — checkpointing and stopping "
+                    "(resume with --resume)")
+                break
             group = spd if (spd > 1 and step >= 1 and step % spd == 0
                             and budget_steps - step >= spd) else 1
             batches = []
@@ -601,4 +644,6 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
         from rusty_sr_tpu.train import checkpoint as _ck
         host_opt = _host_tree(opt_state) if multihost else opt_state
         _ck.save_native(native_ckpt_dir, step, host_params, host_opt)
+    if rss_stop is not None:
+        raise RssBudgetExceeded(step, rss_stop)
     return jax.tree.map(np.asarray, host_params)
