@@ -2,7 +2,10 @@
 
 Real product weights at product settings (tile=242, u8 I/O, packed fast
 tier) over ALL FOUR docs images, plus packed-tier gates at factors 2 and
-4 (seeded-init weights — no trained non-factor-3 weights exist).
+4 on TRAINED weights (tests/fixtures/factor{2,4}.rsr — 3k steps on the
+docs-derived training set, scripts/make_train_data.py; VERDICT r4 #8:
+seeded-init weights exercise a narrower activation range than trained
+ones, so the old 64.5 dB gate was a weaker discriminator).
 
 Measured nominals (this protocol, CPU, round 4):
 
@@ -12,8 +15,9 @@ Measured nominals (this protocol, CPU, round 4):
     under nominal have teeth at every image.
   factor 3 GT delta (exact - fast, self-supervised GT protocol):
     +0.003 .. +0.026 dB — all inside the 0.05 dB budget.
-  factors 2/4 (seeded init): fidelity 67.2 dB nominal, 62.9/63.2
-    perturbed; GT delta ~0.000 dB.
+  factors 2/4 (TRAINED fixtures, round 5): fidelity 63.46/62.57 dB
+    nominal, 57.17/57.01 perturbed — same separation class as the
+    factor-3 real weights; GT delta inside budget.
 """
 
 import numpy as np
@@ -43,8 +47,8 @@ LR_FILES = {"cartoon": "cartoon_lr.png", "butterfly": "butterfly_lr.png",
 # HR source per image for the self-supervised GT protocol
 HR_FILES = {"cartoon": "cartoon_rsa.png", "butterfly": "butterfly_rs.png",
             "logo": "logo_rs.png", "bank": "bank_rs.png"}
-FACTOR_FIDELITY_GATE = 64.5  # factors 2/4 seeded init: nominal 67.2,
-#                              1-ulp perturbed 62.9/63.2
+FACTOR_FIDELITY_GATE = 60.5  # factors 2/4 TRAINED fixtures: nominal
+#                              63.46/62.57, 1-ulp perturbed 57.17/57.01
 
 
 def _load_lr(name: str) -> np.ndarray:
@@ -92,10 +96,15 @@ def test_packed_fast_tier_gt_delta_budget(params, name):
 @pytest.mark.parametrize("factor", [2, 4])
 def test_packed_tier_budget_other_factors(factor):
     """Factor-generic packed tier (the reference's TODO factor flag):
-    fidelity + GT budget at factors 2 and 4 with seeded-init weights —
-    a factor-specific packed-kernel regression fails here even when
-    factor 3 is clean."""
-    tree = jax.tree.map(jnp.asarray, params_lib.init_params(0, factor))
+    fidelity + GT budget at factors 2 and 4 with TRAINED weights
+    (vendored fixtures) — a factor-specific packed-kernel regression
+    fails here even when factor 3 is clean, on realistic activation
+    ranges."""
+    import os
+    fx = os.path.join(os.path.dirname(__file__), "fixtures",
+                      f"factor{factor}.rsr")
+    tree = {k: jnp.asarray(v)
+            for k, v in params_lib.load_rsr_file(fx, factor).items()}
     lr = _load_lr("cartoon")
     exact = tiled_sr(tree, lr, factor, tile=242, chunk=2)
     fast = tiled_sr(tree, lr, factor, tile=242, chunk=2,
@@ -125,14 +134,18 @@ def test_quality_gate_has_teeth(factor):
     proving the gates would catch a new packed-kernel rounding
     regression (the class of bug XLA's excess-precision fold caused in
     round 2, PERF.md).  Measured drops: 60.9->57.1 (f3, real weights),
-    67.2->62.9/63.2 (f2/f4, seeded init)."""
+    63.46->57.17 / 62.57->57.01 (f2/f4, trained fixtures)."""
     lr = _load_lr("cartoon")
     if factor == 3:
         tree = {k: jnp.asarray(v)
                 for k, v in load_builtin("imagenet").items()}
         gate = FIDELITY_GATES["cartoon"]
     else:
-        tree = jax.tree.map(jnp.asarray, params_lib.init_params(0, factor))
+        import os
+        fx = os.path.join(os.path.dirname(__file__), "fixtures",
+                          f"factor{factor}.rsr")
+        tree = {k: jnp.asarray(v)
+                for k, v in params_lib.load_rsr_file(fx, factor).items()}
         gate = FACTOR_FIDELITY_GATE
     exact = tiled_sr(tree, lr, factor, tile=242, chunk=2)
     pp = packed_trunk_params(trunk_params(tree), jnp.bfloat16, factor)
