@@ -452,6 +452,18 @@ void fh_slab(const uint8_t* data, size_t len, bool final, SlabResult* res) {
     uint32_t ltab[256];
     for (int s = 0; s < 256; ++s)
       ltab[s] = uint32_t(lcode[s]) | (uint32_t(llen[s]) << 16);
+    // PAIR table: both codes pre-merged per little-endian byte pair
+    // (bits in the low 32, combined length in bits 32+) — the literal
+    // fast path emits FOUR literals per put with two loads.  512 KB,
+    // L2-resident; built once per slab (<1 ms vs MBs of payload).
+    std::vector<uint64_t> ptab(65536);
+    for (int a = 0; a < 256; ++a) {
+      const uint32_t ca = lcode[a], la = llen[a];
+      for (int b2 = 0; b2 < 256; ++b2)
+        ptab[size_t(a) | (size_t(b2) << 8)] =
+            (ca | (uint32_t(lcode[b2]) << la)) |
+            (uint64_t(la + llen[b2]) << 32);
+    }
     auto run_at = [&](size_t j) -> bool {  // 4 equal bytes at j?
       uint32_t v;
       std::memcpy(&v, d + j, 4);
@@ -463,7 +475,7 @@ void fh_slab(const uint8_t* data, size_t len, bool final, SlabResult* res) {
         overflow = true;
         break;
       }
-      if (i + 4 > len) {  // tail: plain literals
+      if (i + 8 > len) {  // tail: plain literals
         const uint32_t e = ltab[d[i]];
         bw.put(e & 0xffff, e >> 16);
         ++i;
@@ -489,17 +501,23 @@ void fh_slab(const uint8_t* data, size_t len, bool final, SlabResult* res) {
         }
         continue;
       }
-      uint32_t e = ltab[b];
-      uint64_t bits = e & 0xffff;
-      unsigned cnt = e >> 16;
-      ++i;
-      for (int k = 0; k < 2 && i + 4 <= len && !run_at(i); ++k) {
-        e = ltab[d[i]];
-        bits |= uint64_t(e & 0xffff) << cnt;
-        cnt += e >> 16;
-        ++i;
+      // 4 literals via two pair entries.  A run STARTING inside the
+      // quad is simply emitted as literals (matches are optional in
+      // deflate — the next iteration's run probe catches the rest of
+      // the run; the ratio cost is <= 3 literals per missed head).
+      uint16_t k1, k2;
+      std::memcpy(&k1, d + i, 2);
+      std::memcpy(&k2, d + i + 2, 2);
+      const uint64_t e1 = ptab[k1], e2 = ptab[k2];
+      const unsigned c1 = unsigned(e1 >> 32), c2 = unsigned(e2 >> 32);
+      if (c1 + c2 <= 56) {
+        bw.put64((e1 & 0xffffffffu) |
+                 ((e2 & 0xffffffffu) << c1), c1 + c2);
+      } else {  // two long codes back to back (rare): split the put
+        bw.put64(e1 & 0xffffffffu, c1);
+        bw.put64(e2 & 0xffffffffu, c2);
       }
-      bw.put64(bits, cnt);
+      i += 4;
     }
     if (overflow) {
       bw.pos = 0;
