@@ -157,10 +157,11 @@ def loss_fn(params, hr, cfg: TrainConfig):
         a, b = srgb_to_linear(out), srgb_to_linear(hr)
     else:
         a, b = out, hr
+    mse = jnp.mean((a - b) ** 2)
     if cfg.loss_kind == "l1":
         data_loss = jnp.mean(jnp.abs(a - b))
     else:
-        data_loss = jnp.mean((a - b) ** 2)
+        data_loss = mse
     reg = 0.0
     if cfg.l2_reg:
         # Convention assumption: alumina's L2Regularisation source is not
@@ -171,7 +172,6 @@ def loss_fn(params, hr, cfg: TrainConfig):
         # parity against a reference run ever matters.
         reg = cfg.l2_reg * 0.5 * sum(jnp.sum(w * w)
                                      for w in jax.tree.leaves(params))
-    mse = jnp.mean((a - b) ** 2)
     return data_loss + reg, mse
 
 
