@@ -30,20 +30,26 @@ def main():
             start = i
     legs.append((start, len(rows) - 1))
 
+    # A kill between checkpoints re-runs (and re-logs) the span since the
+    # last checkpoint; keep the LAST occurrence of each step — the one on
+    # the surviving optimizer path.
+    by_step = {r["step"]: r for r in rows}
+    uniq = [by_step[s] for s in sorted(by_step)]
+
     print("| step | val PSNR (logo_rs, held out) | train loss |")
     print("|---|---|---|")
     picks = {1}
-    picks.update(r["step"] for r in rows if r["step"] % stride == 0)
-    picks.add(rows[-1]["step"])
-    for r in rows:
+    picks.update(r["step"] for r in uniq if r["step"] % stride == 0)
+    picks.add(uniq[-1]["step"])
+    for r in uniq:
         if r["step"] in picks:
             print(f"| {r['step']} | {r['val_psnr']:.2f} dB "
                   f"| {r['loss']:.2e} |")
 
     total_wall = sum(rows[b]["wall_s"] - rows[a]["wall_s"]
                      for a, b in legs)
-    total_steps = rows[-1]["step"] - rows[0]["step"]
-    best = max(rows, key=lambda r: r["val_psnr"])
+    total_steps = sum(rows[b]["step"] - rows[a]["step"] for a, b in legs)
+    best = max(uniq, key=lambda r: r["val_psnr"])
     print(f"\nlegs: {len(legs)} "
           f"({', '.join(f'{rows[a]['step']}..{rows[b]['step']}' for a, b in legs)})")
     print(f"in-leg rate: {total_wall / max(1, total_steps) * 1e3:.0f} ms/step "
