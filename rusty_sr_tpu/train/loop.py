@@ -312,8 +312,25 @@ class RssBudgetExceeded(RuntimeError):
 
 
 def _host_rss_gb() -> float:
+    """CURRENT host RSS in GB (VmRSS), not the lifetime peak.
+
+    ru_maxrss is the process-lifetime high-water: a one-off spike above
+    the budget (a large validation decode, say) would permanently trip
+    the --max_rss_gb gate for the rest of the leg, degenerating the run
+    into restart churn.  /proc is Linux-only; the ru_maxrss fallback
+    (peak, KB on Linux / bytes on macOS) keeps the gate conservative
+    elsewhere."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / (1 << 20)  # kB -> GB
+    except (OSError, ValueError, IndexError):
+        pass
     import resource
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20)
+    import sys
+    peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    return peak / ((1 << 30) if sys.platform == "darwin" else (1 << 20))
 
 
 def _host_tree(tree):
@@ -590,13 +607,23 @@ def train_loop(cfg: TrainConfig, train_batches, *, start_params=None,
             # step > start_step: each leg makes at least one step of
             # progress even if it starts over budget, so a supervisor
             # `until ...; do :; done` loop always terminates.
-            if max_rss_gb is not None and step > start_step \
-                    and _host_rss_gb() > max_rss_gb:
-                rss_stop = _host_rss_gb()
-                log(f"host RSS {rss_stop:.1f} GB > budget {max_rss_gb} GB "
-                    f"at step {step} — checkpointing and stopping "
-                    "(resume with --resume)")
-                break
+            if max_rss_gb is not None and step > start_step:
+                rss = _host_rss_gb()
+                if multihost:
+                    # UNIFORM decision: one process breaking while the
+                    # others dispatch the next sharded step leaves the
+                    # mesh deadlocked on mismatched collectives (the
+                    # round-3 `validate`-gate lesson) — gate on the
+                    # fleet-max RSS so all legs stop together.
+                    from jax.experimental import multihost_utils
+                    rss = float(np.max(multihost_utils.process_allgather(
+                        np.asarray(rss, np.float32))))
+                if rss > max_rss_gb:
+                    rss_stop = rss
+                    log(f"host RSS {rss_stop:.1f} GB > budget "
+                        f"{max_rss_gb} GB at step {step} — checkpointing "
+                        "and stopping (resume with --resume)")
+                    break
             group = spd if (spd > 1 and step >= 1 and step % spd == 0
                             and budget_steps - step >= spd) else 1
             batches = []

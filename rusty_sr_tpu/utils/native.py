@@ -251,11 +251,13 @@ def png_encode(rgb: np.ndarray, level: int = 1,
     the slab count, which this rule fixes for a given image size and
     host).
     """
+    if codec not in ("zlib", "fh"):
+        # before the lib check: a typo'd codec must raise on toolchain-
+        # free hosts too, not silently fall back to PIL
+        raise ValueError(f"codec must be 'zlib' or 'fh', got {codec!r}")
     lib = _png_load()
     if lib is None:
         return None
-    if codec not in ("zlib", "fh"):
-        raise ValueError(f"codec must be 'zlib' or 'fh', got {codec!r}")
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         return None

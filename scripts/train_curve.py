@@ -50,8 +50,9 @@ def main():
                      for a, b in legs)
     total_steps = sum(rows[b]["step"] - rows[a]["step"] for a, b in legs)
     best = max(uniq, key=lambda r: r["val_psnr"])
-    print(f"\nlegs: {len(legs)} "
-          f"({', '.join(f'{rows[a]['step']}..{rows[b]['step']}' for a, b in legs)})")
+    spans = ", ".join(f"{rows[a]['step']}..{rows[b]['step']}"
+                      for a, b in legs)
+    print(f"\nlegs: {len(legs)} ({spans})")
     print(f"in-leg rate: {total_wall / max(1, total_steps) * 1e3:.0f} ms/step "
           f"over {total_steps} steps")
     print(f"best val PSNR: {best['val_psnr']:.2f} dB at step {best['step']}")

@@ -520,8 +520,12 @@ def test_tiled_sr_host_memory_bounded(anime_params, monkeypatch):
     assert out.shape == (hgt * 3, wid * 3, 3)
     out_bytes = out.nbytes                        # 679 MB HR canvas
     lr_bytes = img.nbytes
-    # Upfront gather would add >= 1.3x LR bytes of tiles (edge+mask) on
-    # top of the canvas; streamed gather holds only ~chunk tiles (plus
-    # the _MAX_INFLIGHT stub results this CPU test keeps on host).
-    budget = out_bytes + lr_bytes // 2 + (64 << 20)
+    # The pipelined driver legitimately parks up to _MAX_INFLIGHT chunks
+    # of HR result tiles before draining — that term is inherent and
+    # must be budgeted explicitly (at chunk=8 it is ~101 MB here, which
+    # ate the old 64 MB slack to within allocator noise).  An upfront
+    # gather would add >= 1.3x LR bytes (~98 MB) of edge+mask tiles ON
+    # TOP of this and blow the remaining lr/2 + 32 MB ≈ 70 MB slack.
+    inflight_bytes = tiling._MAX_INFLIGHT * chunk * tf * tf * 3
+    budget = out_bytes + inflight_bytes + lr_bytes // 2 + (32 << 20)
     assert peak < budget, (peak, budget)
